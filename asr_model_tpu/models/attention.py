@@ -1,0 +1,166 @@
+"""Multi-head attention with per-component norms and signal-adaptive
+rotary.
+
+Parity target: ``attention`` model.py:234-317.
+
+* q/kv projections each behind an ``n_type`` norm; einops-style head
+  split (model.py:242-245).
+* scale ``(dims//head)**-0.25`` applied to BOTH q and k before rotary
+  (model.py:239,303-304); the softmax then applies the standard
+  ``1/sqrt(head_dim)`` (torch SDPA internal scale) — total ``hd^-1``
+  times the rotary magnitudes.
+* rotary applied to q conditioned on the query source and to k
+  conditioned on the kv source (model.py:306), then per-head-dim norms
+  ``n.ln`` on q and k (model.py:307).
+* self-attention when ``xa is None``; cross-attention reads k/v from
+  ``xa`` (model.py:261).  Causality follows the reference's
+  ``is_causal=have(mask)`` convention: the caller passes ``causal``.
+* ``modal=True`` adds the bidirectional x<->xa path through a 1x1
+  head-mixing conv (model.py:309-315).
+
+Reference paths that are latent/broken upstream are reproduced as
+*working* implementations of their documented intent, off by default:
+``pitch_bias`` (RBF-scored attention, model.py:264-283 references
+undefined attributes upstream) and the pitch-context triangle scoring
+``pt`` (model.py:285-299 has a shape bug and a shadowed variable) —
+here the triangle score is a (B,H,Tq,Tk) additive bias on the logits.
+
+TPU notes: masks are additive f32 logits biases; static shapes; the
+decode path supplies a kv validity mask so a fixed-size buffer attends
+only to the live prefix (numerics identical to the reference's
+variable-length prefix).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from asr_model_tpu.models import tlayers
+from asr_model_tpu.models.registry import get_norm
+from asr_model_tpu.models.rotary import Rotary
+
+NEG_INF = -1e30
+
+
+def _split_heads(x: jnp.ndarray, head: int) -> jnp.ndarray:
+    b, t, d = x.shape
+    return x.reshape(b, t, head, d // head).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(x: jnp.ndarray) -> jnp.ndarray:
+    b, h, t, hd = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, t, h * hd)
+
+
+def sdpa(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+         causal: bool = False,
+         kv_valid: Optional[jnp.ndarray] = None,
+         bias: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Scaled dot-product attention over (B,H,T,hd) with the torch-SDPA
+    internal scale 1/sqrt(head_dim).  ``kv_valid``: (B, Tk) bool."""
+    hd = q.shape[-1]
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) / math.sqrt(hd)
+    if bias is not None:
+        logits = logits + bias
+    if causal:
+        tq, tk = logits.shape[-2], logits.shape[-1]
+        cm = jnp.tril(jnp.ones((tq, tk), bool), k=tk - tq)
+        logits = jnp.where(cm[None, None], logits, NEG_INF)
+    if kv_valid is not None:
+        logits = jnp.where(kv_valid[:, None, None, :], logits, NEG_INF)
+    w = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", w, v)
+
+
+class Attention(nn.Module):
+    dims: int
+    head: int
+    layer: int
+    n_type: Optional[str] = None
+    modal: bool = False
+
+    def setup(self):
+        d, h = self.dims, self.head
+        self.q_norm = get_norm(self.n_type, d)
+        self.q_proj = tlayers.Dense(d, d, name="q_proj")
+        self.kv_norm = get_norm(self.n_type, d)
+        self.kv_proj = tlayers.Dense(2 * d, d, name="kv_proj")
+        self.c_norm = get_norm(self.n_type, d)
+        self.c_proj = tlayers.Dense(d, d, name="c_proj")
+        self.out_proj = tlayers.Dense(d, d, name="out_proj")
+        self.head_norm = get_norm(self.n_type, d // h)
+        self.rot = Rotary(d, h)
+        if self.modal:
+            # 1x1 Conv2d over the head axis == head-mixing matrix
+            self.head_mix = self.param(
+                "head_mix", tlayers.torch_kernel_init(), (h, h))
+
+    def _q(self, x):
+        return _split_heads(self.q_proj(self.q_norm(x)), self.head)
+
+    def _kv(self, x):
+        kv = self.kv_proj(self.kv_norm(x))
+        k, v = jnp.split(kv, 2, axis=-1)
+        return (_split_heads(k, self.head), _split_heads(v, self.head))
+
+    def _mix(self, x):
+        if not self.modal:
+            return x
+        return jnp.einsum("gh,bhtd->bgtd", self.head_mix, x)
+
+    def __call__(self, x: jnp.ndarray, xa: Optional[jnp.ndarray] = None,
+                 causal: bool = False, pt: Optional[jnp.ndarray] = None,
+                 window: int = 3,
+                 kv_valid: Optional[jnp.ndarray] = None,
+                 return_modal: bool = False):
+        scale = (self.dims // self.head) ** -0.25
+        kv_src = xa if xa is not None else x
+        k, v = self._kv(kv_src)
+        q = self._q(x)
+
+        bias = None
+        if pt is not None:
+            # triangle pitch-context scoring (documented intent of
+            # model.py:285-299): t[i,j] = sum_{w in window(i,j)}
+            # <q_i * k_j, c_w>, added as an attention-logits bias.
+            c = _split_heads(self.c_proj(self.c_norm(pt)), self.head)
+            qk = jnp.einsum("bhid,bhjd->bhijd", q * scale, k * scale)
+            tq, tk, tc = q.shape[2], k.shape[2], c.shape[2]
+            pos = jnp.arange(tc)
+            lo = jnp.maximum(0, jnp.minimum(jnp.arange(tq)[:, None],
+                                            jnp.arange(tk)[None, :]) - window)
+            hi = jnp.minimum(tc, jnp.maximum(jnp.arange(tq)[:, None],
+                                             jnp.arange(tk)[None, :]) + window)
+            wmask = ((pos[None, None, :] >= lo[..., None])
+                     & (pos[None, None, :] < hi[..., None]))
+            csum = jnp.einsum("bhijd,bhwd,ijw->bhij", qk, c,
+                              wmask.astype(q.dtype))
+            bias = csum
+
+        q = q * scale
+        k = k * scale
+        q = self.rot(q, cond=x if pt is None else pt, causal=causal)
+        k = self.rot(k, cond=kv_src, causal=causal)
+        qn = self.head_norm(q)
+        kn = self.head_norm(k)
+        a = sdpa(qn, kn, v, causal=causal, kv_valid=kv_valid, bias=bias)
+        out = self.out_proj(_merge_heads(a))
+
+        if self.modal and xa is not None and return_modal:
+            ka, va = self._kv(x)
+            kb, vb = self._kv(xa)
+            qa, qb = self._q(x), self._q(xa)
+            qa = self.rot(qa, cond=x, causal=causal)
+            qb = self.rot(qb, cond=xa, causal=causal)
+            ka = self.rot(ka, cond=x, causal=causal)
+            kb = self.rot(kb, cond=xa, causal=causal)
+            b = sdpa(self.head_norm(qa), self.head_norm(kb), vb, causal=causal)
+            c2 = sdpa(self.head_norm(qb), self.head_norm(ka), va, causal=causal)
+            return (out, self.out_proj(_merge_heads(self._mix(b))),
+                    self.out_proj(_merge_heads(self._mix(c2))))
+        return out

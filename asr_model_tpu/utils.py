@@ -1,0 +1,45 @@
+"""Small shared helpers.
+
+Parity: the null-coalescing helper family at essentials.py:19-39
+(``have``/``aorb``/``aborc``/``abcord``/``no_none``/``l2norm``/
+``exact_div``) used for modality-priority selection in Model.forward
+(model.py:656-662).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def have(a):
+    return a is not None
+
+
+def aorb(a, b):
+    return a if have(a) else b
+
+
+def aborc(a, b, c):
+    return aorb(a, aorb(b, c))
+
+
+def abcord(a, b, c, d):
+    return aorb(a, aborc(b, c, d))
+
+
+def no_none(x: dict) -> dict:
+    """Drop None-valued entries from a feature dict (essentials.py:31-32)."""
+    return {k: v for k, v in x.items() if v is not None}
+
+
+def l2norm(t, axis=-1, eps=1e-12):
+    """F.normalize(t, dim=-1) equivalent (essentials.py:34-35).
+
+    torch.nn.functional.normalize divides by max(||t||, eps)."""
+    n = jnp.linalg.norm(t, axis=axis, keepdims=True)
+    return t / jnp.maximum(n, eps)
+
+
+def exact_div(x: int, y: int) -> int:
+    assert x % y == 0
+    return x // y
