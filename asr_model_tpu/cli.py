@@ -1,0 +1,150 @@
+"""CLI entry point.
+
+Parity target: main() model.py:721-824 — tokenizer -> dataset -> 80/20
+split -> Model -> MaxFactor(bias groups) + FAMScheduler2 ->
+train_and_evaluate(max_steps=100, batch_size=1, eval every 10).
+
+Improvements over the reference's hardcoded main: argparse config,
+``--synthetic`` mode (no dataset required), checkpoint resume, mesh
+axes for DP/TP.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import logging
+import os
+from datetime import datetime
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("asr_model_tpu")
+    p.add_argument("--metadata", type=str, default=None,
+                   help="metadata.csv with columns audio,sentence")
+    p.add_argument("--data-dir", type=str, default=None)
+    p.add_argument("--synthetic", type=int, default=0,
+                   help="train on N synthetic utterances instead of files")
+    p.add_argument("--tokenizer", type=str, default=None)
+    p.add_argument("--max-steps", type=int, default=100)
+    p.add_argument("--batch-size", type=int, default=1)
+    p.add_argument("--lr", type=float, default=2.5e-3)
+    p.add_argument("--warmup-steps", type=int, default=10)
+    p.add_argument("--eval-interval", type=int, default=10)
+    p.add_argument("--save-interval", type=int, default=0)
+    p.add_argument("--log-dir", type=str, default=None)
+    p.add_argument("--checkpoint-dir", type=str, default=None)
+    p.add_argument("--resume", type=str, default=None)
+    p.add_argument("--generate", action="store_true",
+                   help="free-running greedy eval WER instead of "
+                        "teacher-forced")
+    p.add_argument("--dims", type=int, default=512)
+    p.add_argument("--head", type=int, default=4)
+    p.add_argument("--layer", type=int, default=4)
+    p.add_argument("--tokens", type=int, default=40000)
+    p.add_argument("--mels", type=int, default=128)
+    p.add_argument("--act", type=str, default="gelu")
+    p.add_argument("--n-type", type=str, default="AbbyNormal")
+    p.add_argument("--chained-blocks", action="store_true")
+    p.add_argument("--pitch-tokens", action="store_true")
+    p.add_argument("--no-pitch", action="store_true")
+    p.add_argument("--no-waveform", action="store_true")
+    p.add_argument("--pad-multiple", type=int, default=128,
+                   help="length-bucket padding so jit sees few static "
+                        "shapes (0 = exact reference padding, recompiles "
+                        "per length)")
+    return p
+
+
+def default_tokenizer_path() -> str:
+    return os.path.join(os.path.dirname(__file__), "assets",
+                        "tokenizer.json")
+
+
+def main(argv=None):
+    from asr_model_tpu.config import (Config, DataConfig, Dimensions,
+                                      ModelConfig, OptimConfig, RunConfig)
+    from asr_model_tpu.data.dataset import (PreparedDataset, Repeated,
+                                            SyntheticDataset, random_split)
+    from asr_model_tpu.data.tokenizer import setup_tokenizer
+    from asr_model_tpu.models.model import Model
+    from asr_model_tpu.train.loop import train_and_evaluate
+
+    args = build_argparser().parse_args(argv)
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s - %(levelname)s - %(message)s")
+
+    log_dir = args.log_dir or os.path.join(
+        "./logs", datetime.now().strftime("%m-%d_%H_%M_%S"))
+    os.makedirs(log_dir, exist_ok=True)
+
+    tokenizer = setup_tokenizer(args.tokenizer or default_tokenizer_path())
+    if args.tokens < tokenizer.get_vocab_size():
+        raise SystemExit(
+            f"--tokens {args.tokens} is smaller than the tokenizer vocab "
+            f"({tokenizer.get_vocab_size()}): label ids would index out of "
+            "bounds (NaN loss). Use --tokens >= vocab size.")
+
+    extract_args = {
+        "spectrogram": True,
+        "pitch": not args.no_pitch,
+        "waveform": not args.no_waveform,
+        "pitch_tokens": args.pitch_tokens,
+        "harmonics": False,
+        "aperiodics": False,
+        "hop_length": 160,
+        "sample_rate": 16000,
+        "mels": args.mels,
+    }
+
+    dims = Dimensions(tokens=args.tokens, mels=args.mels, dims=args.dims,
+                      head=args.head, layer=args.layer, act=args.act,
+                      n_type=args.n_type)
+    cfg = Config(
+        model=ModelConfig(dims=dims, chained_blocks=args.chained_blocks),
+        data=DataConfig(**{k: v for k, v in extract_args.items()
+                           if k in DataConfig.__dataclass_fields__}),
+        optim=OptimConfig(lr=args.lr, warmup_steps=args.warmup_steps,
+                          total_steps=args.max_steps),
+        run=RunConfig(max_steps=args.max_steps,
+                      batch_size=args.batch_size,
+                      eval_interval=args.eval_interval,
+                      save_interval=args.save_interval,
+                      checkpoint_dir=args.checkpoint_dir or log_dir,
+                      log_dir=log_dir, generate=args.generate))
+
+    if args.synthetic:
+        dataset = SyntheticDataset(n=args.synthetic, tokenizer=tokenizer,
+                                   extract_args=extract_args)
+    else:
+        if not args.metadata or not args.data_dir:
+            raise SystemExit("need --metadata/--data-dir or --synthetic N")
+        dataset = PreparedDataset(args.metadata, args.data_dir, tokenizer,
+                                  extract_args=extract_args, cache=True)
+
+    train_ds, eval_ds = random_split(dataset, 0.8, seed=cfg.run.seed)
+    pad_mult = args.pad_multiple or None
+    text_mult = 16 if pad_mult else None
+    train_loader = Repeated(train_ds, batch_size=cfg.run.batch_size,
+                            pad_to_multiple=pad_mult,
+                            text_pad_to_multiple=text_mult)
+    eval_loader = Repeated(eval_ds, batch_size=cfg.run.batch_size,
+                           pad_to_multiple=pad_mult,
+                           text_pad_to_multiple=text_mult)
+
+    model = Model(param=dims, cfg=cfg.model)
+    variables = train_and_evaluate(model, tokenizer, train_loader,
+                                   eval_loader, cfg,
+                                   resume_from=args.resume)
+
+    import jax
+    n_params = sum(x.size for x in jax.tree.leaves(variables["params"]))
+    print(f"Train dataset size: {len(train_ds)}")
+    print(f"Test dataset size: {len(eval_ds)}")
+    print(f"Trainable parameters: {n_params:,}")
+    return variables
+
+
+if __name__ == "__main__":
+    main()

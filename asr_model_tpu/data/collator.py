@@ -36,6 +36,7 @@ class DataCollator:
     bos_token_id: int = 1
     eos_token_id: int = 2
     pad_to_multiple: Optional[int] = None
+    text_pad_to_multiple: Optional[int] = None
     with_masks: bool = False
 
     def __call__(self, features: List[Dict[str, Any]]) -> Dict[str, np.ndarray]:
@@ -43,12 +44,14 @@ class DataCollator:
                        bos_token_id=self.bos_token_id,
                        eos_token_id=self.eos_token_id,
                        pad_to_multiple=self.pad_to_multiple,
+                       text_pad_to_multiple=self.text_pad_to_multiple,
                        with_masks=self.with_masks)
 
 
 def collate(features: List[Dict[str, Any]], pad_token_id: int = 0,
             bos_token_id: int = 1, eos_token_id: int = 2,
             pad_to_multiple: Optional[int] = None,
+            text_pad_to_multiple: Optional[int] = None,
             with_masks: bool = False) -> Dict[str, np.ndarray]:
     batch: Dict[str, np.ndarray] = {}
     all_keys = set()
@@ -59,7 +62,9 @@ def collate(features: List[Dict[str, Any]], pad_token_id: int = 0,
         labels_list = [list(np.asarray(f["labels"]).tolist())
                        for f in features]
         max_len = max(len(l) for l in labels_list)
-        tgt = _round_up(max_len + 1, pad_to_multiple)
+        tmult = (text_pad_to_multiple if text_pad_to_multiple is not None
+                 else pad_to_multiple)
+        tgt = _round_up(max_len + 1, tmult)
         all_ids, all_labels, mask = [], [], []
         for label in labels_list:
             dec_in = [bos_token_id] + label

@@ -95,6 +95,42 @@ class Tokenizer:
                   normalize_nfkc=(norm.get("type") == "NFKC"))
         return tok
 
+    # -------------------------------------------------------- native engine
+    def enable_native(self) -> bool:
+        """Load (building if needed) the C++ merge engine
+        (native/bpe.cpp).  Returns True when active; falls back to the
+        pure-Python loop otherwise."""
+        if self._native is not None:
+            return True
+        from asr_model_tpu import native as native_mod
+        import ctypes
+        lib = native_mod.load("bpe")
+        if lib is None:
+            return False
+        handle = lib.bpe_new()
+        for tok, tid in self.vocab.items():
+            lib.bpe_add_token(handle, tok.encode("utf-8"), tid)
+        for (a, b), rank in self.ranks.items():
+            lib.bpe_add_merge(handle, a.encode("utf-8"),
+                              b.encode("utf-8"), rank)
+        buf = (ctypes.c_int * 4096)()
+        self._native = (lib, handle, buf)
+        return True
+
+    def _encode_word_ids(self, mapped: str) -> List[int]:
+        """mapped byte-level word -> ids (native fast path or Python)."""
+        if self._native is not None:
+            lib, handle, buf = self._native
+            n = lib.bpe_encode_word(handle, mapped.encode("utf-8"),
+                                    buf, len(buf))
+            return list(buf[:n])
+        out = []
+        for sub in self._bpe(mapped):
+            tid = self.vocab.get(sub)
+            if tid is not None:
+                out.append(tid)
+        return out
+
     # ----------------------------------------------------------------- bpe
     def _bpe(self, token: str) -> List[str]:
         cached = self._cache.get(token)
@@ -170,10 +206,7 @@ class Tokenizer:
             for piece in _SPLIT.findall(seg):
                 mapped = "".join(self.byte_encoder[b]
                                  for b in piece.encode("utf-8"))
-                for sub in self._bpe(mapped):
-                    tid = self.vocab.get(sub)
-                    if tid is not None:
-                        ids.append(tid)
+                ids.extend(self._encode_word_ids(mapped))
         if not add_special_tokens:
             special = set(self.added_tokens.values())
             ids = [i for i in ids if i not in special]

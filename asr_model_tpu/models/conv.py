@@ -1,0 +1,223 @@
+"""Convolutional audio feature encoder.
+
+Parity targets: ConvLite model.py:93-118 (conformer-style conv block:
+pointwise->GLU->depthwise(k=15)->BN->SiLU->pointwise->dropout, residual)
+and AudioEncoder model.py:120-169 (per-modality conv stem + ``layer``x
+[act, weight_norm conv k3, LayerNorm, ConvLite, act, depthwise conv k3,
+act, dropout], then (B,T,D) + sinusoids(theta=30000)).
+
+Layout: channel-last (B, T, C) throughout — the natural XLA layout; the
+reference's (B, C, T) permutes (model.py:160) disappear.  Convs are
+SAME-padded k=3/k=15 exactly as the reference.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from asr_model_tpu.config import THETA
+from asr_model_tpu.models import tlayers
+from asr_model_tpu.models.registry import get_activation, get_norm
+from asr_model_tpu.ops.audio import sinusoids
+
+
+class WeightNormConv1d(nn.Module):
+    """Conv1d under weight-norm parametrization (torch
+    ``weight_norm(nn.Conv1d(...))``, dim=0): w = g * v/||v|| with the
+    norm over (kernel, in) per output channel; g initialized to ||v||
+    so the initial function equals the raw conv."""
+
+    features: int
+    in_features: int
+    kernel_size: int = 3
+
+    @nn.compact
+    def __call__(self, x):
+        shape = (self.kernel_size, self.in_features, self.features)
+        v = self.param("v", tlayers.torch_kernel_init(), shape)
+        fan_in = self.in_features * self.kernel_size
+
+        def g_init(key, s, dtype=jnp.float32):
+            # requires v; flax init order is deterministic, so re-derive
+            # ||v|| lazily at first call instead
+            return jnp.ones(s, dtype)
+
+        g = self.param("g", g_init, (self.features,))
+        if self.is_initializing():
+            # match torch: g <- ||v|| at init (so w == v initially)
+            vn0 = jnp.sqrt(jnp.sum(v * v, axis=(0, 1)))
+            self.put_variable("params", "g", vn0)
+            g = vn0
+        vn = jnp.sqrt(jnp.sum(v * v, axis=(0, 1), keepdims=True))
+        w = g[None, None, :] * v / jnp.maximum(vn, 1e-12)
+        b = self.param("b", tlayers.torch_bias_init(fan_in), (self.features,))
+        y = jax.lax.conv_general_dilated(
+            x, w, window_strides=(1,), padding="SAME",
+            dimension_numbers=("NWC", "WIO", "NWC"))
+        return y + b
+
+
+class GLU(nn.Module):
+    """GLU over the channel (last) axis: a * sigmoid(b)."""
+
+    @nn.compact
+    def __call__(self, x):
+        a, b = jnp.split(x, 2, axis=-1)
+        return a * nn.sigmoid(b)
+
+
+class ConvLite(nn.Module):
+    dims: int
+    kernel_size: int = 15
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        residual = x
+        x = tlayers.Conv1d(self.dims * 2, self.dims, 1, name="point1")(x)
+        x = GLU()(x)
+        x = tlayers.Conv1d(self.dims, self.dims, self.kernel_size,
+                           groups=self.dims, name="depth")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, name="bn")(x)
+        x = nn.silu(x)
+        x = tlayers.Conv1d(self.dims, self.dims, 1, name="point2")(x)
+        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        return residual + x
+
+
+class TransformerEncoderLayer(nn.Module):
+    """Optional post-encoder transformer layer (model.py:138, enc=True;
+    torch nn.TransformerEncoderLayer defaults: post-norm, ReLU FFN 2048)."""
+
+    dims: int
+    head: int
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        a = nn.SelfAttention(num_heads=self.head, deterministic=True)(x)
+        x = nn.LayerNorm()(x + a)
+        h = tlayers.Dense(2048, self.dims)(x)
+        h = tlayers.Dense(self.dims, 2048)(nn.relu(h))
+        return nn.LayerNorm()(x + h)
+
+
+class AudioEncoder(nn.Module):
+    """Shared per-modality feature encoder.
+
+    Input per modality: (B, C, T) with C=mels for spectrograms or C=1
+    for pitch/waveform tracks (API parity with the collator); output
+    (B, T, dims) with sinusoidal PE added.
+    """
+
+    mels: int
+    dims: int
+    head: int
+    layer: int
+    act: str
+    n_type: str
+    norm: bool = False
+    enc: bool = False
+    theta: float = THETA
+    dropout: float = 0.1
+
+    def setup(self):
+        self.stem_multi = tlayers.Conv1d(self.dims, self.mels, 3,
+                                         name="conv1")
+        self.stem_mono = tlayers.Conv1d(self.dims, 1, 3, name="conv2")
+        if self.norm:
+            self.out_norm = get_norm(self.n_type, self.dims)
+            self.local_norm = get_norm("localnorm", self.dims)
+        blocks = []
+        for i in range(self.layer):
+            blocks.append({
+                "wn": WeightNormConv1d(self.dims, self.dims, 3,
+                                       name=f"enc{i}_wn"),
+                "ln": nn.LayerNorm(name=f"enc{i}_ln"),
+                "convlite": ConvLite(self.dims, 15, self.dropout,
+                                     name=f"enc{i}_convlite"),
+                "dw": tlayers.Conv1d(self.dims, self.dims, 3,
+                                     groups=self.dims, name=f"enc{i}_dw"),
+            })
+        self.blocks = blocks
+        self.drop = nn.Dropout(self.dropout)
+        if self.enc:
+            self.encoder_layer = TransformerEncoderLayer(self.dims, self.head)
+
+    def _process_feature(self, x: jnp.ndarray, train: bool = False,
+                         rng=None) -> jnp.ndarray:
+        act = get_activation(self.act)
+        if x.ndim == 2:
+            x = x[None]
+        x = jnp.swapaxes(x, -1, -2)          # (B, C, T) -> (B, T, C)
+        if x.shape[-1] > 1:
+            x = self.stem_multi(x)
+            if self.norm:
+                x = self.out_norm(x)
+        else:
+            x = self.stem_mono(x)
+            if self.norm:
+                x = self.local_norm(x)
+        for blk in self.blocks:
+            x = act(x)
+            x = blk["wn"](x)
+            x = blk["ln"](x)
+            x = blk["convlite"](x, train=train)
+            x = act(x)
+            x = blk["dw"](x)
+            x = act(x)
+            x = self.drop(x, deterministic=not train)
+        x = x + sinusoids(x.shape[1], x.shape[-1], self.theta)
+        if self.norm:
+            x = self.out_norm(x)
+        if self.enc:
+            x = self.encoder_layer(x, train=train)
+        return x
+
+    def __call__(self, x, train: bool = False):
+        if not isinstance(x, dict):
+            return self._process_feature(x, train=train)
+
+        keys = [k for k in ("a", "b", "c") if x.get(k) is not None]
+        out = {k: v for k, v in x.items() if k not in keys}
+
+        if train:
+            # train mode: encode each slot separately — BatchNorm batch
+            # stats / running-stat updates must match the reference's
+            # one-call-per-modality behavior (model.py:165-169)
+            for k in keys:
+                out[k] = self._process_feature(x[k], train=True)
+            return out
+
+        # eval/decode: (1) identical slot tensors (single-modality runs
+        # put the same array in a/b/c, model.py:656-662) encode ONCE;
+        # (2) same-shaped mono tracks (pitch/waveform) batch-stack into
+        # one encoder call.  Both are exact at eval (no BN batch stats,
+        # no dropout).
+        uniq: dict = {}
+        for k in keys:
+            uniq.setdefault(id(x[k]), []).append(k)
+        groups = list(uniq.values())
+
+        by_shape: dict = {}
+        for g in groups:
+            by_shape.setdefault(x[g[0]].shape, []).append(g)
+
+        for shape, gs in by_shape.items():
+            if len(gs) > 1:
+                stacked = jnp.concatenate([x[g[0]] for g in gs], axis=0)
+                enc = self._process_feature(stacked, train=False)
+                B = shape[0]
+                for i, g in enumerate(gs):
+                    for k in g:
+                        out[k] = enc[i * B:(i + 1) * B]
+            else:
+                enc = self._process_feature(x[gs[0][0]], train=False)
+                for k in gs[0]:
+                    out[k] = enc
+        return out

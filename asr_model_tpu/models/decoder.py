@@ -1,0 +1,198 @@
+"""Decoder: residual block and the multi-modal ``processor``.
+
+Parity targets: ``residual`` model.py:559-583 and ``processor``
+model.py:585-629.
+
+residual (per call):
+  x, _ = MSheath(ln(x));  x = router(x ×(layer-1)) + attn(ln(x), causal)
+  if xa: xa += sinusoids; xa, _ = MSheath(ln(xa));
+         x = x + attn(ln(x), xa=router(xa ×(layer-1)))
+  return x + mlp(x)   where mlp = [ln, tgate, Dense(d,3d), act,
+                                   Dense(3d,d), ln]
+The single ``ln`` instance is SHARED between both mlp positions and the
+pre-attention norms (one module in the reference, model.py:564,573) —
+reproduced via a single submodule.
+
+processor forward (model.py:602-629): token embedding + optional
+pitch-token embedding (the reference's ``n.quantize_pitch`` call is a
+missing-method crash, SURVEY note C — implemented working here) +
+learned ones-initialized position embedding; then per block:
+  a = blk(x, causal);  b = blk(a, xa=blk(xa.a));  c = blk(b, xa=blk(xa.b))
+  d = blk(c, xa=blk(xa.c));  e = a+b+c;  f = cat(d, e, time)
+  g = blk(f[:, :T], xa=f[:, T:])
+Reference quirk reproduced: ``x`` is never fed back between blocks, so
+only the LAST block reaches the output (earlier blocks are dead code
+with zero gradients).  ``chained=False`` (default, parity) therefore
+runs only the last block — identical math, 1/layer the compute;
+``chained=True`` feeds g back (the "fixed" variant).
+Causality: only the ``a`` call is causal (the reference passes a mask
+only there) — b/c/d/g self-attentions are non-causal, which is why
+decode recomputes the prefix (see generate.py).
+
+Output: ``g`` if seq else ``sigmoid(blend)*d + (1-sigmoid(blend))*g``;
+logits are weight-tied with the token embedding (model.py:628-629).
+
+Masking (TPU decode): ``text_valid`` (B,T) restricts attention,
+MSheath pooling and router inputs to the live prefix so a fixed-size
+buffer reproduces the reference's variable-length numerics exactly.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from asr_model_tpu.config import THETA
+from asr_model_tpu.models import tlayers
+from asr_model_tpu.models.attention import Attention
+from asr_model_tpu.models.gates import Router, TGate
+from asr_model_tpu.models.registry import get_activation, get_norm
+from asr_model_tpu.models.sheath import MSheath
+from asr_model_tpu.ops.audio import sinusoids
+
+
+def quantize_pitch(pt: jnp.ndarray, num_bins: int = 256,
+                   v_min: float = -2.0, v_max: float = 2.0) -> jnp.ndarray:
+    """Linear-bin pitch quantizer (essentials.py:416-421): round
+    normalized pitch into [0, num_bins-1]."""
+    idx = jnp.round((pt - v_min) / (v_max - v_min) * (num_bins - 1))
+    return jnp.clip(idx, 0, num_bins - 1).astype(jnp.int32)
+
+
+class Residual(nn.Module):
+    dims: int
+    head: int
+    layer: int
+    act: str
+    n_type: str
+    num_types: int = 3
+    theta: float = THETA
+
+    def setup(self):
+        d = self.dims
+        self.ln = get_norm(self.n_type, d)        # shared instance
+        self.attn = Attention(d, self.head, self.layer, n_type=self.n_type)
+        self.router = Router(d, num_types=self.num_types)
+        self.jump = MSheath(d, self.head, self.layer)
+        self.tgate = TGate(d, num_types=self.num_types)
+        self.mlp_in = tlayers.Dense(d * self.num_types, d, name="mlp_in")
+        self.mlp_out = tlayers.Dense(d, d * self.num_types, name="mlp_out")
+
+    def _mlp(self, x):
+        act = get_activation(self.act)
+        h = self.ln(x)
+        h = self.tgate(h)
+        h = self.mlp_out(act(self.mlp_in(h)))
+        return self.ln(h)
+
+    def __call__(self, x, xa=None, causal: bool = False, pt=None,
+                 x_valid: Optional[jnp.ndarray] = None,
+                 xa_valid: Optional[jnp.ndarray] = None):
+        n_router = self.layer - 1
+        x, jmp = self.jump(self.ln(x), valid=x_valid)
+        x = (self.router(*[x] * n_router)
+             + self.attn(self.ln(x), causal=causal, pt=pt,
+                         kv_valid=x_valid))
+        if xa is not None:
+            xa = xa + sinusoids(xa.shape[1], xa.shape[-1], self.theta)
+            xa, jmp = self.jump(self.ln(xa), valid=xa_valid)
+            x = x + self.attn(self.ln(x),
+                              xa=self.router(*[xa] * n_router), pt=pt,
+                              kv_valid=xa_valid)
+        return x + self._mlp(x)
+
+
+class Processor(nn.Module):
+    tokens: int
+    mels: int
+    dims: int
+    head: int
+    layer: int
+    act: str
+    n_type: str
+    ctx: int = 2048
+    chained: bool = False
+    pitch_token_vocab: int = 1024
+    pitch_token_bins: int = 256
+
+    def setup(self):
+        d = self.dims
+        self.ln = get_norm(self.n_type, d)
+        self.token = tlayers.Embed(self.tokens, d, name="token")
+        self.pitch_tokens = tlayers.Embed(self.pitch_token_vocab, d,
+                                          name="pitch_tokens")
+        # learned position embedding initialized to ONES (model.py:594)
+        self.position = self.param("position", nn.initializers.ones,
+                                   (self.ctx, d))
+        self.blend = self.param("blend",
+                                lambda k, s: jnp.asarray(0.5), ())
+        self.block = [Residual(d, self.head, self.layer, self.act,
+                               self.n_type, name=f"block{i}")
+                      for i in range(self.layer)]
+
+    def _encode_xa(self, blk, xa: Dict[str, jnp.ndarray], pt=None,
+                   masks: Optional[Dict[str, jnp.ndarray]] = None):
+        """The per-block modality re-encodings i(xa[k]) (model.py:619-621).
+        Exposed separately so decode can compute them once per utterance
+        instead of once per emitted token."""
+        masks = masks or {}
+        return {k: blk(xa[k], pt=pt, x_valid=masks.get(k))
+                for k in ("a", "b", "c") if xa.get(k) is not None}
+
+    def _run_block(self, blk, x, xa_enc, mask_bits, pt=None,
+                   text_valid=None, xa_masks=None):
+        T = x.shape[1]
+        xa_masks = xa_masks or {}
+        a = blk(x, causal=True, pt=pt, x_valid=text_valid)
+        b = blk(a, xa=xa_enc.get("a"), pt=pt, x_valid=text_valid,
+                xa_valid=xa_masks.get("a")) if "a" in xa_enc else a
+        c = blk(b, xa=xa_enc.get("b"), pt=pt, x_valid=text_valid,
+                xa_valid=xa_masks.get("b")) if "b" in xa_enc else b
+        d = blk(c, xa=xa_enc.get("c"), pt=pt, x_valid=text_valid,
+                xa_valid=xa_masks.get("c")) if "c" in xa_enc else c
+        e = a + b + c
+        f = jnp.concatenate([d, e], axis=1)
+        f_valid = (jnp.concatenate([text_valid, text_valid], axis=1)
+                   if text_valid is not None else None)
+        g = blk(f[:, :T], xa=f[:, T:], x_valid=text_valid,
+                xa_valid=text_valid)
+        return d, g
+
+    def __call__(self, ids: jnp.ndarray, xa: Dict[str, jnp.ndarray],
+                 seq: bool = False,
+                 text_valid: Optional[jnp.ndarray] = None,
+                 xa_masks: Optional[Dict[str, jnp.ndarray]] = None,
+                 xa_preencoded: bool = False):
+        blend = nn.sigmoid(self.blend)
+        T = ids.shape[1]
+        x1 = self.token(ids)
+
+        pt_raw = xa.get("pt")
+        if pt_raw is not None:
+            pt_ids = quantize_pitch(pt_raw, self.pitch_token_bins)
+            x1 = x1 + self.pitch_tokens(pt_ids)
+            pt_emb = self.pitch_tokens(pt_ids)
+        else:
+            pt_emb = None
+
+        x = x1 + self.position[:T]
+
+        blocks = self.block if self.chained else self.block[-1:]
+        d = g = None
+        for blk in blocks:
+            xa_enc = (dict(xa) if xa_preencoded
+                      else self._encode_xa(blk, xa, pt=pt_emb,
+                                           masks=xa_masks))
+            xa_enc.pop("pt", None)
+            d, g = self._run_block(blk, x, xa_enc, None, pt=pt_emb,
+                                   text_valid=text_valid,
+                                   xa_masks=xa_masks)
+            if self.chained:
+                x = g
+
+        out = g if seq else blend * d + (1 - blend) * g
+        logits = self.ln(out) @ self.token.embedding.T
+        return logits.astype(jnp.float32)

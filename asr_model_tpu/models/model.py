@@ -1,0 +1,101 @@
+"""Top-level Model.
+
+Parity target: ``Model`` model.py:631-719 — AudioEncoder over
+priority-ordered modality slots a/b/c (model.py:656-662, the ``aborc``
+ordering) + the multi-modal processor; CE loss with ignore_index=0
+(model.py:669-670).  ``generate`` lives in generate.py (fixed-length
+scan decode).
+
+Features arrive as the collator's dict: ``spectrogram`` (B, mels, T),
+``pitch``/``waveform`` (B, 1, T), ``pitch_tokens`` (B, T+1), plus
+optional ``*_mask`` validity masks for the strict-masking mode.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from asr_model_tpu.config import Dimensions, ModelConfig
+from asr_model_tpu.models.conv import AudioEncoder
+from asr_model_tpu.models.decoder import Processor
+from asr_model_tpu.utils import aborc
+
+
+def modality_slots(pitch=None, spectrogram=None, waveform=None,
+                   pitch_tokens=None) -> Dict[str, jnp.ndarray]:
+    """Priority-ordered modality slots (model.py:656-662)."""
+    xa = {
+        "a": aborc(pitch, spectrogram, waveform),
+        "b": aborc(spectrogram, pitch, waveform),
+        "c": aborc(waveform, pitch, spectrogram),
+        "pt": pitch_tokens,
+    }
+    return {k: v for k, v in xa.items() if v is not None}
+
+
+def cross_entropy_ignore_pad(logits: jnp.ndarray, labels: jnp.ndarray,
+                             ignore_id: int = 0) -> jnp.ndarray:
+    """torch F.cross_entropy(..., ignore_index=0): mean over
+    non-ignored positions."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    ll = jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+    mask = (labels != ignore_id).astype(logits.dtype)
+    return -jnp.sum(ll * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+
+
+class Model(nn.Module):
+    param: Dimensions
+    cfg: ModelConfig = ModelConfig()
+
+    def setup(self):
+        p = self.param
+        self.processor = Processor(
+            tokens=p.tokens, mels=p.mels, dims=p.dims, head=p.head,
+            layer=p.layer, act=p.act, n_type=p.n_type, ctx=self.cfg.ctx,
+            chained=self.cfg.chained_blocks,
+            pitch_token_vocab=self.cfg.pitch_token_vocab,
+            pitch_token_bins=self.cfg.pitch_token_bins)
+        self.enc = AudioEncoder(
+            mels=p.mels, dims=p.dims, head=p.head, layer=p.layer,
+            act=p.act, n_type=p.n_type, norm=self.cfg.encoder_norm,
+            enc=self.cfg.encoder_transformer, theta=self.cfg.theta,
+            dropout=self.cfg.dropout)
+
+    def encode(self, xa: Dict[str, jnp.ndarray], train: bool = False):
+        """Run the AudioEncoder over the a/b/c slots (pt passes through)."""
+        return self.enc(xa, train=train)
+
+    def __call__(self, text_ids: jnp.ndarray,
+                 labels: Optional[jnp.ndarray] = None,
+                 spectrogram: Optional[jnp.ndarray] = None,
+                 pitch: Optional[jnp.ndarray] = None,
+                 waveform: Optional[jnp.ndarray] = None,
+                 pitch_tokens: Optional[jnp.ndarray] = None,
+                 train: bool = False,
+                 text_valid: Optional[jnp.ndarray] = None):
+        xa = modality_slots(pitch, spectrogram, waveform, pitch_tokens)
+        xa = self.encode(xa, train=train)
+        logits = self.processor(text_ids, xa, seq=False,
+                                text_valid=text_valid)
+        loss = None
+        if labels is not None:
+            loss = cross_entropy_ignore_pad(logits, labels, ignore_id=0)
+        return {"logits": logits, "loss": loss}
+
+    def decode_step(self, ids: jnp.ndarray, xa_enc: Dict[str, jnp.ndarray],
+                    text_valid: Optional[jnp.ndarray] = None):
+        """One decode evaluation over a (fixed-size) prefix buffer with
+        pre-encoded audio; returns (B, T, vocab) logits (seq=True path,
+        model.py:692)."""
+        return self.processor(ids, xa_enc, seq=True,
+                              text_valid=text_valid, xa_preencoded=False)
+
+    def count_modules(self) -> Dict[str, int]:
+        """Parity with Model.init_w's module-count reporting
+        (model.py:703-719); counts flax param leaves by role."""
+        return {"processor_blocks": self.param.layer,
+                "encoder_blocks": self.param.layer}

@@ -1,0 +1,233 @@
+"""MSheath — adaptive-depth layer stack ("myelin sheath").
+
+Parity target: MSheath model.py:387-507 with v_gate model.py:336-358,
+MPNet model.py:375-385, r_node model.py:360-373, STthreshold
+model.py:319-334.
+
+The reference is a Python ``while`` loop with data-dependent jumps and
+``.item()`` host syncs (model.py:441-501) — untraceable.  Here it is a
+fixed-length ``lax.scan`` over ``layer`` slots carrying an active-layer
+index: each step gathers the params of layer ``i`` (a traced scalar
+index into stacked parameter arrays, so exactly ONE layer's compute runs
+per step, like the reference), applies the gated v_gate update, updates
+the EMA working memory, and resolves the jump policy:
+
+* forced skip (action=1) when the batch-mean gate potential < 0.1;
+* otherwise a hard gumbel sample from the MPNet policy over {0,1,2}
+  (straight-through: forward value 1.0, gradient to the policy);
+* on action>0, blend ``jump_s``-weighted original input with working
+  memory and advance the index by action+1 (clipped to ``layer``).
+
+Control is scalar-per-batch, exactly like the reference (whose
+``.item()`` at model.py:478 only admits batch size 1): the policy/
+potential are batch means, which equal the reference's values at B=1.
+Iterations after ``i >= layer`` are masked no-ops.  Jump statistics are
+accumulated as a (3,) counter — this also fixes the reference's
+``jstat`` vs ``jump_statistics`` logging mismatch (SURVEY §5.5).
+
+``shared_head`` (AdaptiveSpan) is constructed but never called in the
+reference (SURVEY note B); its single ``span_scale`` parameter is kept
+for parameter parity.  ``r_node`` (mini_hc=True) is implemented as the
+documented intent — softmax-weighted mixture of ``exp`` parallel linear
+paths, ReLU — the reference's einsum shapes are broken (model.py:372).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from asr_model_tpu.models import tlayers
+from asr_model_tpu.models.gates import MPNet
+from asr_model_tpu.models.stochastic import gumbel_softmax, ste_threshold
+from asr_model_tpu.utils import l2norm
+
+
+def _linear_init(fan_in):
+    return tlayers.torch_kernel_init(), tlayers.torch_bias_init(fan_in)
+
+
+def _layer_norm(x, scale, bias, eps=1e-5):
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + eps) * scale + bias
+
+
+def _masked_mean(x, valid, axis):
+    if valid is None:
+        return jnp.mean(x, axis=axis, keepdims=True)
+    m = valid.astype(x.dtype)
+    while m.ndim < x.ndim:
+        m = m[..., None]
+    s = jnp.sum(x * m, axis=axis, keepdims=True)
+    n = jnp.maximum(jnp.sum(m, axis=axis, keepdims=True), 1.0)
+    return s / n
+
+
+class MSheath(nn.Module):
+    dims: int
+    head: int
+    layer: int
+    mini_hc: bool = False
+    rate: int = 2
+    mem: int = 64
+    thresh: float = 0.3
+    l_jump: bool = True
+
+    def setup(self):
+        d, L, M = self.dims, self.layer, self.mem
+        kinit = tlayers.torch_kernel_init()
+        randn = nn.initializers.normal(stddev=1.0)
+
+        self.mem_w = self.param("mem_w", nn.initializers.zeros, (1, 1, d))
+        self.memgate_w = self.param("memgate_w", kinit, (d, 1))
+        self.memgate_b = self.param("memgate_b", tlayers.torch_bias_init(d), (1,))
+        self.jump_s = self.param(
+            "jump_s", lambda k, s: jnp.asarray([0.1, 0.05, 0.01]), (3,))
+        # parity placeholder: AdaptiveSpan shared_head (model.py:396)
+        self.span_scale = self.param("span_scale", nn.initializers.ones, (1,))
+
+        self.ln_scale = self.param("ln_scale", nn.initializers.ones, (L, d))
+        self.ln_bias = self.param("ln_bias", nn.initializers.zeros, (L, d))
+        self.gate_w = self.param("gate_w", kinit, (L, d, 1))
+        self.gate_b = self.param("gate_b", tlayers.torch_bias_init(d), (L, 1))
+
+        # v_gate (per layer): memory bank + scoring MLP + concat head
+        self.mkey = self.param("mkey", randn, (L, M, d))
+        self.mval = self.param("mval", randn, (L, M, 1))
+        self.vmlp1_w = self.param("vmlp1_w", kinit, (L, d, d // 2))
+        self.vmlp1_b = self.param("vmlp1_b", tlayers.torch_bias_init(d),
+                                  (L, d // 2))
+        self.vmlp2_w = self.param("vmlp2_w", kinit, (L, d // 2, 1))
+        self.vmlp2_b = self.param("vmlp2_b", tlayers.torch_bias_init(d // 2),
+                                  (L, 1))
+        self.vcat_w = self.param("vcat_w", kinit, (L, 2, 1))
+        self.vcat_b = self.param("vcat_b", tlayers.torch_bias_init(2), (L, 1))
+
+        n_adapt = (L + 1) // 2  # adapters on even layers only (model.py:408)
+        self.adapt_w = self.param("adapt_w", kinit, (n_adapt, d, d))
+        self.adapt_b = self.param("adapt_b", tlayers.torch_bias_init(d),
+                                  (n_adapt, d))
+
+        if self.mini_hc:
+            E = self.rate
+            self.par_w = self.param("par_w", kinit, (L, E, d, d))
+            self.par_b = self.param("par_b", tlayers.torch_bias_init(d),
+                                    (L, E, d))
+            self.rnet_w = self.param("rnet_w", kinit, (L, d, E))
+            self.rnet_b = self.param("rnet_b", tlayers.torch_bias_init(d),
+                                     (L, E))
+
+        self.pnet = MPNet(self.dims, jump=2)
+        self.mlpgate_w = self.param("mlpgate_w", kinit, (d, 1))
+        self.mlpgate_b = self.param("mlpgate_b", tlayers.torch_bias_init(d),
+                                    (1,))
+        self.mlp1 = tlayers.Dense(d * 4, d, name="mlp1")
+        self.mlp2 = tlayers.Dense(d, d * 4, name="mlp2")
+        self.mlp_ln_scale = self.param("mlp_ln_scale", nn.initializers.ones,
+                                       (d,))
+        self.mlp_ln_bias = self.param("mlp_ln_bias", nn.initializers.zeros,
+                                      (d,))
+
+    def _v_gate(self, x, idx):
+        d = self.dims
+        key = jax.nn.softmax(
+            jnp.einsum("bcd,md->bcm", l2norm(x), l2norm(self.mkey[idx]))
+            / math.sqrt(d), axis=-1)
+        mem_score = jnp.einsum("bcm,mo->bco", key, self.mval[idx])
+        h = nn.silu(x @ self.vmlp1_w[idx] + self.vmlp1_b[idx])
+        mlp_score = h @ self.vmlp2_w[idx] + self.vmlp2_b[idx]
+        both = jnp.concatenate([mem_score, mlp_score], axis=-1)
+        x_val = both @ self.vcat_w[idx] + self.vcat_b[idx]
+        smask = ste_threshold(x_val, self.thresh)
+        return smask, x_val
+
+    def _ranvier(self, x, idx):
+        if not self.mini_hc:
+            return x
+        feats = jnp.einsum("bcd,edf->bcef", x, self.par_w[idx]) \
+            + self.par_b[idx]
+        wts = jax.nn.softmax(x @ self.rnet_w[idx] + self.rnet_b[idx], -1)
+        return nn.relu(jnp.einsum("bcef,bce->bcf", feats, wts))
+
+    def __call__(self, x: jnp.ndarray, valid: Optional[jnp.ndarray] = None
+                 ) -> Tuple[jnp.ndarray, dict]:
+        L = self.layer
+        b, ctx, d = x.shape
+        orig_x = x
+        mem_w0 = jnp.broadcast_to(self.mem_w, (b, 1, d))
+
+        pooled = _masked_mean(x, valid, axis=1)[:, 0]        # (b, d)
+        policy = self.pnet(pooled)                           # (b, 3)
+        policy_mean = jnp.mean(policy, axis=0)               # (3,) == policy[0] at B=1
+
+        if self.has_rng("gumbel"):
+            keys = jax.random.split(self.make_rng("gumbel"), L)
+        else:
+            keys = None
+
+        def body(carry, step):
+            x, mem_w, i, jstat = carry
+            active = i < L
+            idx = jnp.minimum(i, L - 1)
+
+            ion, _ = self._v_gate(x, idx)                    # (b, ctx, 1)
+            px = _layer_norm(x, self.ln_scale[idx], self.ln_bias[idx])
+            a_idx = idx // 2
+            adapted = px @ self.adapt_w[a_idx] + self.adapt_b[a_idx]
+            apx = jnp.where(idx % 2 == 0, adapted, px)
+            out = self._ranvier(apx, idx)
+            g_val = nn.sigmoid(px @ self.gate_w[idx] + self.gate_b[idx])
+            x_new = x + g_val * (out * ion)
+
+            mem = _masked_mean(x_new, valid, axis=1)         # (b, 1, d)
+            mem_v = nn.sigmoid(mem @ self.memgate_w + self.memgate_b)
+            mem_w_new = mem_v * mem_w + (1 - mem_v) * mem
+
+            if valid is None:
+                potential = jnp.mean(ion)
+            else:
+                potential = _masked_mean(ion, valid, axis=(0, 1, 2))[0, 0, 0]
+
+            last = i >= L - 1
+            forced = (potential < 0.1) & ~last
+            key = keys[step] if keys is not None else None
+            jump = gumbel_softmax(key, policy_mean, tau=1.0, hard=True)
+            sampled = jnp.argmax(jump, axis=-1)
+            action = jnp.where(last, 0, jnp.where(forced, 1, sampled))
+            jump_g = jnp.where(forced | last, 1.0,
+                               jnp.take(jump, sampled))
+
+            jump_w = jnp.take(self.jump_s,
+                              jnp.clip(action - 1, 0, 2))
+            jump_i = jump_w * orig_x + (1 - jump_w) * mem_w_new
+            x_jumped = x_new + jump_i * jump_g
+            x_kept = x_new * jump_g
+            x_out = jnp.where(action > 0, x_jumped, x_kept)
+
+            i_next = jnp.where(action > 0,
+                               jnp.minimum(i + action + 1, L), i + 1)
+            jstat_new = jstat + jnp.where(
+                active, jax.nn.one_hot(action, 3, dtype=jstat.dtype) * b, 0)
+
+            x_c = jnp.where(active, x_out, x)
+            mem_c = jnp.where(active, mem_w_new, mem_w)
+            i_c = jnp.where(active, i_next, i)
+            return (x_c, mem_c, i_c, jstat_new), action
+
+        init = (x, mem_w0, jnp.asarray(0, jnp.int32),
+                jnp.zeros(3, jnp.int32))
+        (x, mem_w, _, jstat), actions = jax.lax.scan(
+            body, init, jnp.arange(L))
+
+        gate = nn.sigmoid(x @ self.mlpgate_w + self.mlpgate_b)
+        h = _layer_norm(x, self.mlp_ln_scale, self.mlp_ln_bias)
+        output = self.mlp2(nn.silu(self.mlp1(h)))
+        x = x + gate * output
+        # surfaced for the train loop's Jumps/* counters (SURVEY §5.5)
+        self.sow("intermediates", "jstat", jstat)
+        return x, {"jstat": jstat, "actions": actions}

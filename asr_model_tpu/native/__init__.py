@@ -1,0 +1,76 @@
+"""Native (C++) runtime components.
+
+``build()`` compiles the shared libraries with g++ (cached; no-op when
+up to date).  Components degrade gracefully to the pure-Python paths
+when the toolchain is unavailable.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import os
+import subprocess
+from typing import Optional
+
+logger = logging.getLogger(__name__)
+
+_DIR = os.path.dirname(__file__)
+_SOURCES = {
+    "bpe": ("bpe.cpp", "libbpe.so"),
+}
+_handles = {}
+
+
+def lib_path(name: str) -> str:
+    return os.path.join(_DIR, _SOURCES[name][1])
+
+
+def build(name: str = "bpe", force: bool = False) -> Optional[str]:
+    """Compile one native component; returns the .so path or None."""
+    src, out = _SOURCES[name]
+    src_path = os.path.join(_DIR, src)
+    out_path = os.path.join(_DIR, out)
+    if not force and os.path.exists(out_path) \
+            and os.path.getmtime(out_path) >= os.path.getmtime(src_path):
+        return out_path
+    cmd = ["g++", "-O2", "-shared", "-fPIC", "-std=c++17",
+           src_path, "-o", out_path]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, text=True)
+        return out_path
+    except (subprocess.CalledProcessError, FileNotFoundError) as e:
+        logger.warning("native build of %s failed: %s", name, e)
+        return None
+
+
+def load(name: str = "bpe", auto_build: bool = True
+         ) -> Optional[ctypes.CDLL]:
+    """dlopen a native component, building it first if needed."""
+    if name in _handles:
+        return _handles[name]
+    path = lib_path(name)
+    if not os.path.exists(path) and auto_build:
+        path = build(name)
+    if not path or not os.path.exists(path):
+        _handles[name] = None
+        return None
+    try:
+        lib = ctypes.CDLL(path)
+    except OSError as e:          # pragma: no cover
+        logger.warning("failed to load %s: %s", path, e)
+        _handles[name] = None
+        return None
+    if name == "bpe":
+        lib.bpe_new.restype = ctypes.c_void_p
+        lib.bpe_free.argtypes = [ctypes.c_void_p]
+        lib.bpe_add_token.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                      ctypes.c_int]
+        lib.bpe_add_merge.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                      ctypes.c_char_p, ctypes.c_int]
+        lib.bpe_encode_word.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int), ctypes.c_int]
+        lib.bpe_encode_word.restype = ctypes.c_int
+    _handles[name] = lib
+    return lib

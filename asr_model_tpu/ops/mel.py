@@ -116,7 +116,7 @@ def mel_spectrogram(audio: jnp.ndarray, sample_rate: int = 16000,
 def whisper_compress(mel: jnp.ndarray) -> jnp.ndarray:
     """clamp(1e-10).log10(); max(x, x.max()-8); (x+4)/4 — the global max
     is over the whole (per-utterance) tensor (essentials.py:488-490)."""
-    log_mel = jnp.log10(jnp.clip(mel, a_min=1e-10))
+    log_mel = jnp.log10(jnp.clip(mel, min=1e-10))
     log_mel = jnp.maximum(log_mel, jnp.max(log_mel) - 8.0)
     return (log_mel + 4.0) / 4.0
 

@@ -1,0 +1,141 @@
+"""Sharding rules: DP + TP (+ the seq axis for long-form encoder work).
+
+Greenfield design (SURVEY §2.5): batch sharded over 'data'; tensor
+parallelism shards attention heads and MLP hidden dims over 'model'
+with the standard Megatron pairing — column-parallel into the block,
+row-parallel out of it — expressed purely as NamedSharding annotations;
+XLA inserts the psum/all-gathers over ICI.
+
+Rules are path-pattern based so they survive model refactors:
+
+* ``q_proj/kernel``, ``kv_proj/kernel``, ``c_proj/kernel``: (d, H*hd) —
+  shard the output (head) axis over 'model' (column-parallel);
+* ``out_proj/kernel``: (H*hd, d) — shard the input axis (row-parallel);
+* ``mlp_in/kernel`` / ``mlp1``: column-parallel; ``mlp_out`` / ``mlp2``:
+  row-parallel;
+* token embedding: shard the vocab axis over 'model' (the 40k-row
+  embedding is the single largest tensor);
+* everything else replicated.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+TP_RULES = (
+    # (path regex, PartitionSpec)
+    (r"q_proj/kernel$",   P(None, "model")),
+    (r"kv_proj/kernel$",  P(None, "model")),
+    (r"c_proj/kernel$",   P(None, "model")),
+    (r"q_proj/bias$",     P("model")),
+    (r"kv_proj/bias$",    P("model")),
+    (r"c_proj/bias$",     P("model")),
+    (r"out_proj/kernel$", P("model", None)),
+    (r"mlp_in/kernel$",   P(None, "model")),
+    (r"mlp_in/bias$",     P("model")),
+    (r"mlp_out/kernel$",  P("model", None)),
+    (r"mlp1/kernel$",     P(None, "model")),
+    (r"mlp1/bias$",       P("model")),
+    (r"mlp2/kernel$",     P("model", None)),
+    (r"token/embedding$", P("model", None)),
+)
+
+
+def _path_str(path) -> str:
+    return "/".join(str(getattr(k, "key", k)) for k in path)
+
+
+def param_pspec(params) -> Any:
+    """PartitionSpec tree for the params (TP rules, else replicated)."""
+
+    def spec_for(path, leaf):
+        name = _path_str(path)
+        for pat, spec in TP_RULES:
+            if re.search(pat, name):
+                # only shard when divisible; tiny test models stay replicated
+                axis = spec
+                return axis
+        return P()
+
+    return jax.tree_util.tree_map_with_path(spec_for, params)
+
+
+def _divisible(leaf, spec, mesh: Mesh) -> bool:
+    for dim, axis in enumerate(spec):
+        if axis is None:
+            continue
+        size = mesh.shape[axis]
+        if dim >= leaf.ndim or leaf.shape[dim] % size != 0:
+            return False
+    return True
+
+
+def param_shardings(params, mesh: Mesh):
+    """NamedSharding tree; falls back to replication for leaves whose
+    shapes don't divide the mesh axis."""
+    specs = param_pspec(params)
+
+    def to_sharding(leaf, spec):
+        if not _divisible(leaf, spec, mesh):
+            spec = P()
+        return NamedSharding(mesh, spec)
+
+    return jax.tree.map(to_sharding, params, specs)
+
+
+def batch_shardings(batch, mesh: Mesh):
+    """Shard the leading batch axis over 'data'."""
+    def shard(leaf):
+        return NamedSharding(mesh, P("data"))
+    return jax.tree.map(shard, batch)
+
+
+def replicated(tree, mesh: Mesh):
+    return jax.tree.map(lambda _: NamedSharding(mesh, P()), tree)
+
+
+def shard_params(params, mesh: Mesh):
+    """Place (and lay out) the params on the mesh."""
+    return jax.device_put(params, param_shardings(params, mesh))
+
+
+def make_sharded_train_step(model, tx, mesh: Mesh,
+                            clip_grad_norm: float = 0.0) -> Callable:
+    """The jitted DP(+TP) train step: batch sharded over 'data', params
+    TP-sharded per the rules; XLA's SPMD partitioner inserts the
+    gradient psum over 'data' and the TP collectives over 'model'."""
+
+    def step_fn(params, opt_state, batch_stats, rng, batch):
+        rng, gumbel, drop = jax.random.split(rng, 3)
+
+        def loss_fn(p):
+            variables = {"params": p, "batch_stats": batch_stats}
+            out, mut = model.apply(
+                variables, batch["text_ids"], labels=batch["labels"],
+                spectrogram=batch.get("spectrogram"),
+                pitch=batch.get("pitch"),
+                waveform=batch.get("waveform"),
+                pitch_tokens=batch.get("pitch_tokens"),
+                train=True, rngs={"gumbel": gumbel, "dropout": drop},
+                mutable=["batch_stats"])
+            return out["loss"], mut["batch_stats"]
+
+        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params)
+        if clip_grad_norm > 0:
+            gsq = sum(jnp.sum(g.astype(jnp.float32) ** 2)
+                      for g in jax.tree.leaves(grads))
+            factor = jnp.minimum(1.0,
+                                 clip_grad_norm / (jnp.sqrt(gsq) + 1e-6))
+            grads = jax.tree.map(lambda g: g * factor, grads)
+        updates, new_opt = tx.update(grads, opt_state, params=params)
+        new_params = optax.apply_updates(params, updates)
+        return new_params, new_opt, new_bs, rng, loss
+
+    return jax.jit(step_fn, donate_argnums=(0, 1, 2))

@@ -1,0 +1,153 @@
+"""Model-level tests: shapes, causality, determinism, decode, and a
+tiny overfit run (SURVEY §4 integration strategy)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from asr_model_tpu.config import Dimensions, ModelConfig
+from asr_model_tpu.models.generate import greedy_decode
+from asr_model_tpu.models.model import (Model, cross_entropy_ignore_pad,
+                                        modality_slots)
+
+DIMS = Dimensions(tokens=50, mels=8, dims=16, head=2, layer=2)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = Model(param=DIMS, cfg=ModelConfig(dims=DIMS))
+    B, T, TF = 2, 6, 12
+    rng = np.random.RandomState(0)
+    batch = {
+        "text_ids": jnp.asarray(rng.randint(3, 50, (B, T))),
+        "labels": jnp.asarray(rng.randint(3, 50, (B, T))),
+        "spectrogram": jnp.asarray(rng.randn(B, 8, TF), jnp.float32),
+        "pitch": jnp.asarray(rng.rand(B, 1, TF), jnp.float32),
+        "waveform": jnp.asarray(rng.randn(B, 1, TF), jnp.float32),
+    }
+    variables = jax.jit(lambda r, b: model.init(
+        {"params": r, "gumbel": r}, b["text_ids"], labels=b["labels"],
+        spectrogram=b["spectrogram"], pitch=b["pitch"],
+        waveform=b["waveform"]))(jax.random.key(0), batch)
+    return model, variables, batch
+
+
+def test_forward_shapes_and_loss(setup):
+    model, variables, batch = setup
+    out = model.apply(variables, batch["text_ids"], labels=batch["labels"],
+                      spectrogram=batch["spectrogram"],
+                      pitch=batch["pitch"], waveform=batch["waveform"])
+    assert out["logits"].shape == (2, 6, 50)
+    assert np.isfinite(float(out["loss"]))
+
+
+def test_deterministic_without_rng(setup):
+    model, variables, batch = setup
+    kw = dict(spectrogram=batch["spectrogram"], pitch=batch["pitch"],
+              waveform=batch["waveform"])
+    o1 = model.apply(variables, batch["text_ids"], **kw)["logits"]
+    o2 = model.apply(variables, batch["text_ids"], **kw)["logits"]
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2))
+
+
+def test_modality_priority_slots():
+    p, s, w = object(), object(), object()
+    xa = modality_slots(pitch=p, spectrogram=s, waveform=w)
+    assert xa["a"] is p and xa["b"] is s and xa["c"] is w
+    xa = modality_slots(spectrogram=s)
+    assert xa["a"] is s and xa["b"] is s and xa["c"] is s
+
+
+def test_ce_ignore_pad():
+    logits = jnp.zeros((1, 4, 10))
+    labels = jnp.asarray([[5, 5, 0, 0]])
+    loss = cross_entropy_ignore_pad(logits, labels)
+    # uniform logits -> -log(1/10) per non-pad position
+    np.testing.assert_allclose(float(loss), np.log(10), rtol=1e-5)
+
+
+def test_single_modality_works(setup):
+    model, variables, batch = setup
+    out = model.apply(variables, batch["text_ids"],
+                      spectrogram=batch["spectrogram"])
+    assert out["logits"].shape == (2, 6, 50)
+
+
+def test_greedy_decode_shapes_and_eos(setup):
+    model, variables, batch = setup
+    ids = greedy_decode(model, variables,
+                        spectrogram=batch["spectrogram"],
+                        pitch=batch["pitch"], waveform=batch["waveform"],
+                        max_new_tokens=8)
+    ids = np.asarray(ids)
+    assert ids.shape == (2, 9)
+    assert (ids[:, 0] == 1).all()          # BOS start
+
+
+def test_prefix_masking_matches_unpadded(setup):
+    """A fixed-size masked buffer must reproduce the variable-length
+    prefix numerics exactly (the decode-correctness invariant)."""
+    model, variables, batch = setup
+    xa = modality_slots(pitch=batch["pitch"],
+                        spectrogram=batch["spectrogram"],
+                        waveform=batch["waveform"])
+    xa_enc = model.apply(variables, xa, method=Model.encode)
+
+    def run(mdl, ids, valid):
+        return mdl.processor(ids, xa_enc, seq=True, text_valid=valid,
+                             xa_preencoded=False)
+
+    prefix = batch["text_ids"][:, :3]
+    out_short = model.apply(variables, prefix, None, method=run)
+    padded = jnp.pad(batch["text_ids"][:, :3], ((0, 0), (0, 3)))
+    valid = jnp.asarray([[1, 1, 1, 0, 0, 0]] * 2, bool)
+    out_masked = model.apply(variables, padded, valid, method=run)
+    np.testing.assert_allclose(np.asarray(out_short),
+                               np.asarray(out_masked)[:, :3], atol=2e-4,
+                               rtol=1e-3)
+
+
+def test_tiny_overfit_one_batch():
+    """Loss on one repeated batch must drop substantially under
+    MaxFactor (integration smoke, SURVEY §4)."""
+    import optax
+    from asr_model_tpu.optim.maxfactor import bias_group_tree, maxfactor
+
+    dims = Dimensions(tokens=20, mels=4, dims=16, head=2, layer=2)
+    model = Model(param=dims, cfg=ModelConfig(dims=dims))
+    rng = np.random.RandomState(1)
+    batch = {
+        "text_ids": jnp.asarray([[1, 5, 6, 7]]),
+        "labels": jnp.asarray([[5, 6, 7, 2]]),
+        "spectrogram": jnp.asarray(rng.randn(1, 4, 10), jnp.float32),
+    }
+    variables = jax.jit(lambda r, b: model.init(
+        {"params": r}, b["text_ids"], labels=b["labels"],
+        spectrogram=b["spectrogram"]))(jax.random.key(0), batch)
+    params = variables["params"]
+    bs = variables.get("batch_stats", {})
+    tx = maxfactor(lr=0.05, bias=bias_group_tree(params))
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state, bs):
+        def loss_fn(p):
+            out, mut = model.apply(
+                {"params": p, "batch_stats": bs},
+                batch["text_ids"], labels=batch["labels"],
+                spectrogram=batch["spectrogram"], train=True,
+                rngs={"dropout": jax.random.key(2)},
+                mutable=["batch_stats"])
+            return out["loss"], mut["batch_stats"]
+
+        (loss, bs2), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state2 = tx.update(grads, opt_state, params=params)
+        return optax.apply_updates(params, updates), opt_state2, bs2, loss
+
+    losses = []
+    for _ in range(60):
+        params, opt_state, bs, loss = step(params, opt_state, bs)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.5, (losses[0], losses[-1])

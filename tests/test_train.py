@@ -1,0 +1,88 @@
+"""End-to-end train loop test: synthetic data, few steps, checkpoint
+save + RESTORE (the reference has no restore path — SURVEY §5.4)."""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from asr_model_tpu.config import (Config, Dimensions, ModelConfig,
+                                  OptimConfig, RunConfig)
+from asr_model_tpu.data.dataset import Repeated, SyntheticDataset
+from asr_model_tpu.data.tokenizer import setup_tokenizer
+from asr_model_tpu.models.model import Model
+from asr_model_tpu.train import checkpoint as ckpt
+from asr_model_tpu.train.loop import (grad_norm_controller, make_optimizer,
+                                      train_and_evaluate)
+
+ASSET = os.path.join(os.path.dirname(__file__), "..", "asr_model_tpu",
+                     "assets", "tokenizer.json")
+
+
+@pytest.fixture(scope="module")
+def trained(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("train")
+    tok = setup_tokenizer(ASSET)
+    extract = dict(spectrogram=True, pitch=False, waveform=False,
+                   hop_length=160, sample_rate=16000, mels=8)
+    ds = SyntheticDataset(n=4, tokenizer=tok, extract_args=extract,
+                          dur_range=(0.3, 0.5))
+    loader = Repeated(ds, batch_size=2, pad_to_multiple=64,
+                      text_pad_to_multiple=16)
+    dims = Dimensions(tokens=40000, mels=8, dims=16, head=2, layer=2)
+    cfg = Config(
+        model=ModelConfig(dims=dims),
+        optim=OptimConfig(warmup_steps=2, total_steps=6),
+        run=RunConfig(max_steps=6, batch_size=2, eval_interval=3,
+                      save_interval=3, warmup_interval=1,
+                      checkpoint_dir=str(tmp), log_dir=str(tmp)))
+    model = Model(param=dims, cfg=cfg.model)
+    variables = train_and_evaluate(model, tok, loader, loader, cfg)
+    return model, variables, cfg, tok, loader, str(tmp)
+
+
+def test_train_loop_runs_and_saves(trained):
+    model, variables, cfg, tok, loader, tmp = trained
+    assert variables["params"] is not None
+    saved = glob.glob(os.path.join(tmp, "*.msgpack"))
+    assert saved, "expected periodic + final checkpoints"
+    assert all(np.isfinite(np.asarray(x)).all()
+               for x in jax.tree.leaves(variables["params"]))
+
+
+def test_checkpoint_restore_roundtrip(trained):
+    model, variables, cfg, tok, loader, tmp = trained
+    path = ckpt.latest_checkpoint(tmp)
+    assert path is not None
+    params = variables["params"]
+    tx, _ = make_optimizer(cfg, params)
+    target = {"params": params, "opt_state": tx.init(params),
+              "batch_stats": variables.get("batch_stats", {}), "step": 0}
+    restored = ckpt.restore_checkpoint(path, target)
+    assert int(restored["step"]) > 0
+    # restored params parse into the same treedef with same shapes
+    for a, b in zip(jax.tree.leaves(restored["params"]),
+                    jax.tree.leaves(params)):
+        assert a.shape == b.shape
+
+
+def test_grad_norm_controller_behavior():
+    scales = {"s": 1.0}
+    # rising grad norms shrink the scale
+    hist = [1.0] * 6 + [2.0] * 5
+    out = grad_norm_controller(hist, dict(scales))
+    assert out["s"] == pytest.approx(0.9)
+    # falling grad norms grow it
+    hist = [2.0] * 6 + [1.0] * 5
+    out = grad_norm_controller(hist, dict(scales))
+    assert out["s"] == pytest.approx(1.1)
+    # clamped to [0.05, 2.0]
+    out = grad_norm_controller([2.0] * 6 + [1.0] * 5, {"s": 1.95})
+    assert out["s"] == 2.0
+    # short history: no change
+    out = grad_norm_controller([1.0] * 5, {"s": 0.5})
+    assert out["s"] == 0.5
