@@ -73,6 +73,11 @@ def frame_signal(audio: jnp.ndarray, n_fft: int, hop_length: int,
 
     center=True zero-pads n_fft//2 on both sides (pad_mode='constant');
     n_frames = 1 + N // hop.
+
+    Gather-free: the signal reshapes to (rows, hop) and each frame is a
+    horizontal concat of ``ceil(n_fft/hop)`` consecutive rows — row
+    slices + one concat, which XLA turns into plain strided copies
+    (jnp.take's 1M-element gather was the frontend's bottleneck on TPU).
     """
     if center:
         pad = n_fft // 2
@@ -80,9 +85,17 @@ def frame_signal(audio: jnp.ndarray, n_fft: int, hop_length: int,
         audio = jnp.pad(audio, padding)
     n = audio.shape[-1]
     n_frames = 1 + (n - n_fft) // hop_length
-    idx = (jnp.arange(n_frames)[:, None] * hop_length
-           + jnp.arange(n_fft)[None, :])
-    return jnp.take(audio, idx, axis=-1)
+
+    k = (n_fft + hop_length - 1) // hop_length     # rows per frame
+    rows_needed = n_frames + k                     # with slack
+    total = rows_needed * hop_length
+    if total > n:
+        pad2 = [(0, 0)] * (audio.ndim - 1) + [(0, total - n)]
+        audio = jnp.pad(audio, pad2)
+    grid = audio.reshape(*audio.shape[:-1], rows_needed, hop_length)
+    parts = [grid[..., j:j + n_frames, :] for j in range(k)]
+    frames = jnp.concatenate(parts, axis=-1)       # (..., n_frames, k*hop)
+    return frames[..., :n_fft]
 
 
 def power_spectrogram(audio: jnp.ndarray, n_fft: int = 1024,

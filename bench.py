@@ -69,17 +69,24 @@ def main():
 
     def transcribe(audio):
         mel, pitch, wave = frontend(audio)
+        # suppress_eos forces the full token budget: random-init params
+        # would otherwise emit EOS immediately and undercount the decode
         return greedy_decode(model, variables, spectrogram=mel,
                              pitch=pitch, waveform=wave,
-                             max_new_tokens=max_new_tokens)
+                             max_new_tokens=max_new_tokens,
+                             suppress_eos=True)
 
-    # warm-up/compile
-    ids = jax.block_until_ready(transcribe(audio))
+    # warm-up/compile; np.asarray forces a host fetch — on tunneled TPU
+    # runtimes block_until_ready does not actually synchronize
+    ids = np.asarray(transcribe(audio))
 
-    n_iter = 3
+    # async-enqueue n_iter dispatches, fetch only the last result: one
+    # tunnel round-trip (~28 ms here) amortized over the batch
+    n_iter = 10
     start = time.perf_counter()
     for _ in range(n_iter):
-        ids = jax.block_until_ready(transcribe(audio))
+        ids = transcribe(audio)
+    np.asarray(ids)
     elapsed = (time.perf_counter() - start) / n_iter
 
     audio_seconds = batch * utt_sec

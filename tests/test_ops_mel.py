@@ -49,7 +49,7 @@ def _make_audio(n=SR):  # 1s: chirp + tone + noise
 
 def test_hann_window_matches_torch():
     np.testing.assert_allclose(hann_window(NFFT),
-                               torch.hann_window(NFFT).numpy(), atol=1e-7)
+                               torch.hann_window(NFFT).numpy(), atol=1e-6)
 
 
 def test_filterbank_matches_torchaudio_formula():
