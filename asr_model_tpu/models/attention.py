@@ -57,6 +57,30 @@ def _merge_heads(x: jnp.ndarray) -> jnp.ndarray:
     return x.transpose(0, 2, 1, 3).reshape(b, t, h * hd)
 
 
+def taylor_softmax(x: jnp.ndarray, order: int = 2) -> jnp.ndarray:
+    """Taylor-series softmax surrogate (parity: model.py:251-256, which
+    the reference defines but never calls): 1 + sum_i x^i/i!, normalized
+    over the last axis."""
+    ta = jnp.ones_like(x)
+    for i in range(1, order + 1):
+        ta = ta + x ** i / float(math.factorial(i))
+    return ta / jnp.sum(ta, axis=-1, keepdims=True)
+
+
+def rbf_scores(q: jnp.ndarray, k: jnp.ndarray, rbf_sigma: float = 1.0,
+               rbf_ratio: float = 0.3) -> jnp.ndarray:
+    """Blended dot-product + RBF attention logits (working
+    implementation of the reference's dead ``pitch_bias`` path,
+    model.py:264-283, which references undefined attributes upstream):
+    (1-r) * q.k^T + r * exp(-||q-k||^2 / (2 sigma^2))."""
+    dot = jnp.einsum("bhqd,bhkd->bhqk", q, k)
+    q2 = jnp.sum(q * q, axis=-1)[..., :, None]
+    k2 = jnp.sum(k * k, axis=-1)[..., None, :]
+    d2 = q2 + k2 - 2 * dot
+    rbf = jnp.exp(-d2 / (2 * rbf_sigma ** 2))
+    return (1 - rbf_ratio) * dot + rbf_ratio * rbf
+
+
 def sdpa(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
          causal: bool = False,
          kv_valid: Optional[jnp.ndarray] = None,
@@ -113,12 +137,33 @@ class Attention(nn.Module):
             return x
         return jnp.einsum("gh,bhtd->bgtd", self.head_mix, x)
 
+    def precompute_kv(self, xa: jnp.ndarray):
+        """Fully-processed cross-attention K/V for a FIXED source: the
+        kv projection, (dims/head)^-0.25 scaling, signal-adaptive rotary
+        (conditioned on the source itself, the non-causal ladder) and
+        the per-head norm are all source-only — precompute once per
+        utterance so the decode loop only computes the q side
+        (this removes the dominant per-step FLOPs; SURVEY §3.3)."""
+        scale = (self.dims // self.head) ** -0.25
+        k, v = self._kv(xa)
+        k = k * scale
+        k = self.rot(k, cond=xa, causal=False)
+        return self.head_norm(k), v
+
     def __call__(self, x: jnp.ndarray, xa: Optional[jnp.ndarray] = None,
                  causal: bool = False, pt: Optional[jnp.ndarray] = None,
                  window: int = 3,
                  kv_valid: Optional[jnp.ndarray] = None,
-                 return_modal: bool = False):
+                 return_modal: bool = False,
+                 cached_kv=None):
         scale = (self.dims // self.head) ** -0.25
+        if cached_kv is not None:
+            kn, v = cached_kv
+            q = self._q(x) * scale
+            q = self.rot(q, cond=x, causal=False)
+            qn = self.head_norm(q)
+            a = sdpa(qn, kn, v, causal=False, kv_valid=kv_valid)
+            return self.out_proj(_merge_heads(a))
         kv_src = xa if xa is not None else x
         k, v = self._kv(kv_src)
         q = self._q(x)

@@ -88,15 +88,30 @@ class Residual(nn.Module):
         h = self.mlp_out(act(self.mlp_in(h)))
         return self.ln(h)
 
+    def precompute_cross(self, xa, xa_valid=None):
+        """The per-utterance half of the cross branch: +PE, MSheath,
+        router mix, and the attention K/V processing — everything that
+        does not depend on the decoder state (all of which the
+        reference recomputes per emitted token, model.py:579-582)."""
+        n_router = self.layer - 1
+        xa = xa + sinusoids(xa.shape[1], xa.shape[-1], self.theta)
+        xa, _ = self.jump(self.ln(xa), valid=xa_valid)
+        mixed = self.router(*[xa] * n_router)
+        return self.attn.precompute_kv(mixed)
+
     def __call__(self, x, xa=None, causal: bool = False, pt=None,
                  x_valid: Optional[jnp.ndarray] = None,
-                 xa_valid: Optional[jnp.ndarray] = None):
+                 xa_valid: Optional[jnp.ndarray] = None,
+                 cached_kv=None):
         n_router = self.layer - 1
         x, jmp = self.jump(self.ln(x), valid=x_valid)
         x = (self.router(*[x] * n_router)
              + self.attn(self.ln(x), causal=causal, pt=pt,
                          kv_valid=x_valid))
-        if xa is not None:
+        if cached_kv is not None:
+            x = x + self.attn(self.ln(x), cached_kv=cached_kv,
+                              kv_valid=xa_valid)
+        elif xa is not None:
             xa = xa + sinusoids(xa.shape[1], xa.shape[-1], self.theta)
             xa, jmp = self.jump(self.ln(xa), valid=xa_valid)
             x = x + self.attn(self.ln(x),
@@ -142,10 +157,32 @@ class Processor(nn.Module):
         return {k: blk(xa[k], pt=pt, x_valid=masks.get(k))
                 for k in ("a", "b", "c") if xa.get(k) is not None}
 
+    def _precompute_cross(self, blk, xa_enc,
+                          masks: Optional[Dict[str, jnp.ndarray]] = None):
+        """Per-slot cross-attention K/V cache for decode (see
+        Residual.precompute_cross)."""
+        masks = masks or {}
+        return {k: blk.precompute_cross(xa_enc[k],
+                                        xa_valid=masks.get(k))
+                for k in ("a", "b", "c") if xa_enc.get(k) is not None}
+
     def _run_block(self, blk, x, xa_enc, mask_bits, pt=None,
-                   text_valid=None, xa_masks=None):
+                   text_valid=None, xa_masks=None, xa_kv=None):
         T = x.shape[1]
         xa_masks = xa_masks or {}
+        if xa_kv is not None:
+            a = blk(x, causal=True, pt=pt, x_valid=text_valid)
+            b = blk(a, cached_kv=xa_kv.get("a"), x_valid=text_valid,
+                    xa_valid=xa_masks.get("a")) if "a" in xa_kv else a
+            c = blk(b, cached_kv=xa_kv.get("b"), x_valid=text_valid,
+                    xa_valid=xa_masks.get("b")) if "b" in xa_kv else b
+            d = blk(c, cached_kv=xa_kv.get("c"), x_valid=text_valid,
+                    xa_valid=xa_masks.get("c")) if "c" in xa_kv else c
+            e = a + b + c
+            f = jnp.concatenate([d, e], axis=1)
+            g = blk(f[:, :T], xa=f[:, T:], x_valid=text_valid,
+                    xa_valid=text_valid)
+            return d, g
         a = blk(x, causal=True, pt=pt, x_valid=text_valid)
         b = blk(a, xa=xa_enc.get("a"), pt=pt, x_valid=text_valid,
                 xa_valid=xa_masks.get("a")) if "a" in xa_enc else a
@@ -165,7 +202,9 @@ class Processor(nn.Module):
                  seq: bool = False,
                  text_valid: Optional[jnp.ndarray] = None,
                  xa_masks: Optional[Dict[str, jnp.ndarray]] = None,
-                 xa_preencoded: bool = False):
+                 xa_preencoded: bool = False,
+                 logits_position: Optional[jnp.ndarray] = None,
+                 xa_kv: Optional[Dict] = None):
         blend = nn.sigmoid(self.blend)
         T = ids.shape[1]
         x1 = self.token(ids)
@@ -183,16 +222,28 @@ class Processor(nn.Module):
         blocks = self.block if self.chained else self.block[-1:]
         d = g = None
         for blk in blocks:
-            xa_enc = (dict(xa) if xa_preencoded
-                      else self._encode_xa(blk, xa, pt=pt_emb,
-                                           masks=xa_masks))
-            xa_enc.pop("pt", None)
-            d, g = self._run_block(blk, x, xa_enc, None, pt=pt_emb,
-                                   text_valid=text_valid,
-                                   xa_masks=xa_masks)
+            if xa_kv is not None:
+                d, g = self._run_block(blk, x, None, None, pt=pt_emb,
+                                       text_valid=text_valid,
+                                       xa_masks=xa_masks, xa_kv=xa_kv)
+            else:
+                xa_enc = (dict(xa) if xa_preencoded
+                          else self._encode_xa(blk, xa, pt=pt_emb,
+                                               masks=xa_masks))
+                xa_enc.pop("pt", None)
+                d, g = self._run_block(blk, x, xa_enc, None, pt=pt_emb,
+                                       text_valid=text_valid,
+                                       xa_masks=xa_masks)
             if self.chained:
                 x = g
 
         out = g if seq else blend * d + (1 - blend) * g
+        if logits_position is not None:
+            # greedy decode only consumes one position's logits — slice
+            # BEFORE the (d x vocab) projection, which dominates decode
+            # FLOPs (40k vocab); all norms here are position-wise so
+            # slicing first is numerics-exact
+            out = jax.lax.dynamic_slice_in_dim(
+                out, logits_position, 1, axis=1)       # (B, 1, d)
         logits = self.ln(out) @ self.token.embedding.T
         return logits.astype(jnp.float32)

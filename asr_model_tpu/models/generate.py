@@ -46,12 +46,13 @@ def _build_decode_fn(model: Model, max_new_tokens: int,
 
         def _pre(mdl, xa_enc):
             blk = mdl.processor.block[-1]
-            out = mdl.processor._encode_xa(blk, xa_enc)
-            if "pt" in xa_enc:
-                out["pt"] = xa_enc["pt"]
-            return out
+            re_enc = mdl.processor._encode_xa(blk, xa_enc)
+            # per-utterance cross-attention K/V cache: the block
+            # re-encoding AND the cross branch's PE+MSheath+router+
+            # kv-projection all run once here instead of per token
+            return mdl.processor._precompute_cross(blk, re_enc)
 
-        xa_pre = model.apply(variables, xa_enc, method=_pre)
+        xa_kv = model.apply(variables, xa_enc, method=_pre)
         fx = next(v for k, v in xa.items() if k != "pt")
         batch = fx.shape[0]
         ids0 = jnp.full((batch, T), PAD_ID, jnp.int32).at[:, 0].set(BOS_ID)
@@ -64,10 +65,11 @@ def _build_decode_fn(model: Model, max_new_tokens: int,
             ids, length, done = carry
             valid = jnp.broadcast_to(jnp.arange(T)[None, :] < length,
                                      (batch, T))
-            logits = model.apply(variables, ids, xa_pre,
-                                 method=_decode_step, text_valid=valid)
             idx = jnp.clip(length - 1, 0, T - 1)
-            next_logits = logits[:, idx]                  # (B, vocab)
+            logits = model.apply(variables, ids, xa_kv,
+                                 method=_decode_step, text_valid=valid,
+                                 logits_position=idx)
+            next_logits = logits[:, 0]                    # (B, vocab)
             if suppress_eos:
                 allow = length >= (T - 1)
                 masked = jnp.where(allow, next_logits[:, EOS_ID], -jnp.inf)
@@ -86,9 +88,10 @@ def _build_decode_fn(model: Model, max_new_tokens: int,
     return jax.jit(decode)
 
 
-def _decode_step(mdl: Model, ids, xa_pre, text_valid=None):
-    return mdl.processor(ids, xa_pre, seq=True, text_valid=text_valid,
-                         xa_preencoded=True)
+def _decode_step(mdl: Model, ids, xa_kv, text_valid=None,
+                 logits_position=None):
+    return mdl.processor(ids, {}, seq=True, text_valid=text_valid,
+                         logits_position=logits_position, xa_kv=xa_kv)
 
 
 def greedy_decode(model: Model, variables, spectrogram=None, pitch=None,
@@ -101,6 +104,77 @@ def greedy_decode(model: Model, variables, spectrogram=None, pitch=None,
     xa = modality_slots(pitch, spectrogram, waveform, pitch_tokens)
     fn = _build_decode_fn(model, int(max_new_tokens), bool(suppress_eos))
     return fn(variables, xa)
+
+
+@functools.lru_cache(maxsize=32)
+def _build_prompted_decode_fn(model: Model, prompt_len: int,
+                              max_new_tokens: int, suppress_eos: bool):
+    T = 1 + prompt_len + max_new_tokens
+
+    def decode(variables, xa, prompt):
+        xa_enc = model.apply(variables, xa, method=Model.encode)
+
+        def _pre(mdl, xa_enc):
+            blk = mdl.processor.block[-1]
+            re_enc = mdl.processor._encode_xa(blk, xa_enc)
+            # per-utterance cross-attention K/V cache: the block
+            # re-encoding AND the cross branch's PE+MSheath+router+
+            # kv-projection all run once here instead of per token
+            return mdl.processor._precompute_cross(blk, re_enc)
+
+        xa_kv = model.apply(variables, xa_enc, method=_pre)
+        fx = next(v for k, v in xa.items() if k != "pt")
+        batch = fx.shape[0]
+        ids0 = jnp.full((batch, T), PAD_ID, jnp.int32)
+        ids0 = ids0.at[:, 0].set(BOS_ID)
+        if prompt_len:
+            ids0 = ids0.at[:, 1:1 + prompt_len].set(prompt)
+
+        def cond(carry):
+            ids, length, done = carry
+            return (length < T) & ~jnp.all(done)
+
+        def step(carry):
+            ids, length, done = carry
+            valid = jnp.broadcast_to(jnp.arange(T)[None, :] < length,
+                                     (batch, T))
+            idx = jnp.clip(length - 1, 0, T - 1)
+            logits = model.apply(variables, ids, xa_kv,
+                                 method=_decode_step, text_valid=valid,
+                                 logits_position=idx)
+            next_logits = logits[:, 0]
+            if suppress_eos:
+                allow = length >= (T - 1)
+                masked = jnp.where(allow, next_logits[:, EOS_ID],
+                                   -jnp.inf)
+                next_logits = next_logits.at[:, EOS_ID].set(masked)
+            nxt = jnp.argmax(next_logits, axis=-1).astype(jnp.int32)
+            nxt = jnp.where(done, jnp.asarray(PAD_ID, jnp.int32), nxt)
+            col = jnp.arange(T) == length
+            ids = jnp.where(col[None, :], nxt[:, None], ids)
+            done = done | (nxt == EOS_ID)
+            return ids, length + 1, done
+
+        init = (ids0, jnp.asarray(1 + prompt_len, jnp.int32),
+                jnp.zeros(batch, bool))
+        ids, _, _ = jax.lax.while_loop(cond, step, init)
+        return ids
+
+    return jax.jit(decode)
+
+
+def greedy_decode_prompted(model: Model, variables, prompt: jnp.ndarray,
+                           spectrogram=None, pitch=None, waveform=None,
+                           pitch_tokens=None, max_new_tokens: int = 150,
+                           suppress_eos: bool = False) -> jnp.ndarray:
+    """Greedy decode seeded with a (B, P) token prompt after BOS —
+    the long-form cross-chunk carry (models/longform.py).  Compiles one
+    program per (prompt length, shapes)."""
+    xa = modality_slots(pitch, spectrogram, waveform, pitch_tokens)
+    p = int(prompt.shape[-1])
+    fn = _build_prompted_decode_fn(model, p, int(max_new_tokens),
+                                   bool(suppress_eos))
+    return fn(variables, xa, prompt.astype(jnp.int32))
 
 
 def generate_predictions(model: Model, variables, tokenizer=None,

@@ -1,0 +1,96 @@
+"""Long-form chunked inference (BASELINE config #4).
+
+The reference handles long audio only by padding to the 2048-ctx cap
+(SURVEY §5.7) — 30s+ utterances need chunking.  Design:
+
+* split the waveform into fixed ``chunk_sec`` windows with
+  ``overlap_sec`` acoustic overlap (context for the encoder convs at
+  chunk boundaries);
+* run the on-device frontend + encoder + greedy decode per chunk —
+  every chunk has the SAME static shape, so XLA compiles exactly one
+  program reused across chunks and utterances;
+* carry decoding state across chunks by seeding each chunk's decode
+  with the last ``carry_tokens`` tokens of the previous chunk's
+  transcript (prompt-conditioned decode: the fixed-size buffer starts
+  with BOS + prompt instead of BOS alone) — the decoder keeps lexical
+  continuity without attending across chunk boundaries;
+* strip the prompt echo from each chunk's output and concatenate.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from asr_model_tpu.config import BOS_ID, EOS_ID, PAD_ID
+from asr_model_tpu.models.generate import greedy_decode_prompted
+from asr_model_tpu.models.model import Model
+from asr_model_tpu.ops.audio import frame_rate_waveform
+from asr_model_tpu.ops.mel import log_mel_spectrogram
+from asr_model_tpu.ops.pitch import yin_f0
+
+
+def chunk_audio(audio: np.ndarray, sample_rate: int = 16000,
+                chunk_sec: float = 30.0, overlap_sec: float = 2.0
+                ) -> List[np.ndarray]:
+    """Fixed-size overlapping chunks (the last one zero-padded)."""
+    n = len(audio)
+    size = int(chunk_sec * sample_rate)
+    stride = size - int(overlap_sec * sample_rate)
+    chunks = []
+    start = 0
+    while start < n:
+        c = audio[start:start + size]
+        if len(c) < size:
+            c = np.pad(c, (0, size - len(c)))
+        chunks.append(np.asarray(c, np.float32))
+        if start + size >= n:
+            break
+        start += stride
+    return chunks
+
+
+def _frontend(audio: jnp.ndarray, sample_rate: int, hop: int, mels: int):
+    mel = log_mel_spectrogram(audio, sample_rate, 1024, hop, mels)
+    wave = frame_rate_waveform(audio, sample_rate, hop)
+    f0, _ = yin_f0(audio, fs=sample_rate,
+                   frame_period=hop / sample_rate * 1000.0)
+    T = mel.shape[-1]
+    f0 = jnp.pad(f0[None, :], ((0, 0), (0, max(T - f0.shape[-1], 0))))
+    return mel[None], f0[None, :, :T], wave[None]
+
+
+def transcribe_long(model: Model, variables, audio: np.ndarray,
+                    tokenizer=None, sample_rate: int = 16000,
+                    chunk_sec: float = 30.0, overlap_sec: float = 2.0,
+                    max_new_tokens_per_chunk: int = 150,
+                    carry_tokens: int = 8, hop: int = 160,
+                    use_pitch: bool = True, use_waveform: bool = True):
+    """Transcribe arbitrarily long audio.  Returns (ids, text?)."""
+    mels = model.param.mels
+    chunks = chunk_audio(audio, sample_rate, chunk_sec, overlap_sec)
+    frontend = jax.jit(lambda a: _frontend(a, sample_rate, hop, mels))
+
+    out_ids: List[int] = []
+    prompt = np.zeros((0,), np.int32)
+    for c in chunks:
+        mel, pitch, wave = frontend(jnp.asarray(c))
+        ids = greedy_decode_prompted(
+            model, variables, jnp.asarray(prompt[None]),
+            spectrogram=mel,
+            pitch=pitch if use_pitch else None,
+            waveform=wave if use_waveform else None,
+            max_new_tokens=max_new_tokens_per_chunk)
+        row = np.asarray(ids)[0]
+        # strip BOS + prompt echo, stop at EOS/PAD
+        gen = row[1 + len(prompt):]
+        gen = gen[(gen != PAD_ID) & (gen != EOS_ID)]
+        out_ids.extend(int(t) for t in gen)
+        prompt = np.asarray(out_ids[-carry_tokens:], np.int32) \
+            if carry_tokens else np.zeros((0,), np.int32)
+
+    text = tokenizer.decode(out_ids) if tokenizer is not None else None
+    return out_ids, text

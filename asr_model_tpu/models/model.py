@@ -99,3 +99,37 @@ class Model(nn.Module):
         (model.py:703-719); counts flax param leaves by role."""
         return {"processor_blocks": self.param.layer,
                 "encoder_blocks": self.param.layer}
+
+
+def init_w(params) -> Dict[str, int]:
+    """Module-count self-check (parity: Model.init_w/_init_w,
+    model.py:703-719): count Linear/Conv/LayerNorm-shaped parameter
+    groups in an initialized params tree and print a summary."""
+    counts = {"Linear": 0, "Conv1d": 0, "LayerNorm": 0, "Embedding": 0,
+              "Other": 0}
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    seen = set()
+    for path, leaf in flat:
+        keys = [str(getattr(k, "key", k)) for k in path]
+        parent = "/".join(keys[:-1])
+        name = keys[-1]
+        if parent in seen:
+            continue
+        if name == "kernel" and leaf.ndim == 2:
+            counts["Linear"] += 1
+            seen.add(parent)
+        elif name in ("kernel", "v") and leaf.ndim == 3:
+            counts["Conv1d"] += 1
+            seen.add(parent)
+        elif name in ("scale", "ln_scale", "mlp_ln_scale", "gamma"):
+            # stacked (L, d) norm scales count as L norms
+            counts["LayerNorm"] += leaf.shape[0] if leaf.ndim == 2 else 1
+            seen.add(parent + "/" + name)
+        elif name == "embedding":
+            counts["Embedding"] += 1
+            seen.add(parent)
+    print("Initialization summary:")
+    for k, v in counts.items():
+        if v > 0:
+            print(f"{k}: {v}")
+    return counts

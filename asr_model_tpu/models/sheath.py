@@ -146,6 +146,16 @@ class MSheath(nn.Module):
         smask = ste_threshold(x_val, self.thresh)
         return smask, x_val
 
+    @staticmethod
+    def update_threshold(tx, loss, cema, lr=0.01):
+        """v_gate threshold adaptation (parity: model.py:353-358, never
+        called by the reference's loop): lower the STE threshold when
+        loss exceeds its EMA, raise it otherwise; clamp [0.05, 0.95].
+        Functional form — returns the new threshold (a device scalar to
+        be fed back in, keeping the jitted step recompile-free)."""
+        tx = jnp.where(loss > cema, tx - lr, tx + lr)
+        return jnp.clip(tx, 0.05, 0.95)
+
     def _ranvier(self, x, idx):
         if not self.mini_hc:
             return x

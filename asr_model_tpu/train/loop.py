@@ -73,7 +73,12 @@ def make_optimizer(cfg: Config, params):
 
 
 def make_train_step(model: Model, tx, clip_grad_norm: float = 0.0):
-    """Build the single jitted train step."""
+    """Build the single jitted train step.
+
+    Returns (params, opt_state, batch_stats, rng, loss, gnorm, jstat):
+    jstat is the summed MSheath jump-action counter (3,) for the
+    Jumps/* scalars — the reference intends this but its counter name
+    mismatch means it never fires (SURVEY §5.5)."""
 
     def step_fn(params, opt_state, batch_stats, rng, batch):
         rng, gumbel, drop = jax.random.split(rng, 3)
@@ -89,11 +94,16 @@ def make_train_step(model: Model, tx, clip_grad_norm: float = 0.0):
                 pitch_tokens=batch.get("pitch_tokens"),
                 train=True,
                 rngs={"gumbel": gumbel, "dropout": drop},
-                mutable=["batch_stats"])
-            return out["loss"], mut["batch_stats"]
+                mutable=["batch_stats", "intermediates"])
+            inter = mut.get("intermediates", {})
+            jstats = [jnp.sum(jnp.stack(v), axis=0)
+                      for v in _collect_sown(inter, "jstat")]
+            jstat = (sum(jstats) if jstats
+                     else jnp.zeros(3, jnp.int32))
+            return out["loss"], (mut["batch_stats"], jstat)
 
-        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params)
+        (loss, (new_bs, jstat)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
         gsq = sum(jnp.sum(g.astype(jnp.float32) ** 2)
                   for g in jax.tree.leaves(grads))
         gnorm = jnp.sqrt(gsq)
@@ -102,9 +112,49 @@ def make_train_step(model: Model, tx, clip_grad_norm: float = 0.0):
             grads = jax.tree.map(lambda g: g * factor, grads)
         updates, new_opt = tx.update(grads, opt_state, params=params)
         new_params = optax.apply_updates(params, updates)
-        return new_params, new_opt, new_bs, rng, loss, gnorm
+        return new_params, new_opt, new_bs, rng, loss, gnorm, jstat
 
     return jax.jit(step_fn, donate_argnums=(0, 1, 2))
+
+
+def _collect_sown(tree, name):
+    """All sown values called ``name`` anywhere in an intermediates
+    tree."""
+    found = []
+
+    def walk(node):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                if k == name and isinstance(v, tuple):
+                    found.append(jnp.stack(list(v)))
+                else:
+                    walk(v)
+
+    walk(tree)
+    return found
+
+
+def make_grad_diagnostics(model: Model):
+    """Separate (non-donating) grad computation for the per-parameter
+    diagnostics the reference logs every step (essentials.py:780-782,
+    848-853): per-param grad norms + spectral entropy.  Run at
+    log intervals only — it recomputes fwd+bwd."""
+
+    @jax.jit
+    def grads_fn(params, batch_stats, rng, batch):
+        def loss_fn(p):
+            out = model.apply(
+                {"params": p, "batch_stats": batch_stats},
+                batch["text_ids"], labels=batch["labels"],
+                spectrogram=batch.get("spectrogram"),
+                pitch=batch.get("pitch"),
+                waveform=batch.get("waveform"),
+                train=False)
+            return out["loss"]
+
+        return jax.grad(loss_fn)(params)
+
+    return grads_fn
 
 
 def make_eval_step(model: Model):
@@ -157,6 +207,8 @@ def train_and_evaluate(
     writer=None,
     metric_fn: Callable = compute_metrics,
     resume_from: Optional[str] = None,
+    log_detail: bool = False,
+    profile_dir: Optional[str] = None,
 ):
     """Returns the final variables dict {params, batch_stats}.
 
@@ -205,6 +257,12 @@ def train_and_evaluate(
 
     train_step = make_train_step(model, tx, run.clip_grad_norm)
     eval_step = make_eval_step(model)
+    grad_diag = make_grad_diagnostics(model) if log_detail else None
+
+    if profile_dir:
+        # jax profiler trace around the first post-warmup steps
+        # (SURVEY §5.1: torch has none; TPU build gets real traces)
+        jax.profiler.start_trace(profile_dir)
 
     n_params_m = sum(x.size for x in jax.tree.leaves(params)) / 1e6
     grad_history: list = []
@@ -222,8 +280,8 @@ def train_and_evaluate(
 
         start = time.time()
         dbatch = _device_batch(batch)
-        params, opt_state, batch_stats, rng, loss, gnorm = train_step(
-            params, opt_state, batch_stats, rng, dbatch)
+        params, opt_state, batch_stats, rng, loss, gnorm, jstat = \
+            train_step(params, opt_state, batch_stats, rng, dbatch)
 
         loss_f = float(loss)
         gnorm_f = float(gnorm)
@@ -244,6 +302,28 @@ def train_and_evaluate(
             writer.add_scalar("GradNorm", gnorm_f, global_step)
             writer.add_scalar("OneShot/scale", oneshot_scales["oneshot"],
                               global_step)
+            # MSheath jump-action counters per interval (SURVEY §5.5,
+            # fixing the reference's jstat/jump_statistics mismatch)
+            js = np.asarray(jstat)
+            writer.add_scalar("Jumps/Layer_Maintained_0", int(js[0]),
+                              global_step)
+            writer.add_scalar("Jumps/Skipped_1_Layer", int(js[1]),
+                              global_step)
+            writer.add_scalar("Jumps/Skipped_2_Layers", int(js[2]),
+                              global_step)
+            if log_detail:
+                g = grad_diag(params, batch_stats, rng, dbatch)
+                for name, norm in track_grad_norms(g).items():
+                    writer.add_scalar(f"train/per_layer_norms_{name}",
+                                      norm, global_step)
+                for (path, leaf) in jax.tree_util.tree_flatten_with_path(
+                        g)[0]:
+                    if leaf.size > 1024:
+                        nm = ".".join(str(getattr(kk, "key", kk))
+                                      for kk in path)
+                        writer.add_scalar(f"Entropy/{nm}",
+                                          spectral_entropy(leaf),
+                                          global_step)
 
         # ------------------------------------------------------------ eval
         do_eval = (run.eval_interval > 0
@@ -296,8 +376,14 @@ def train_and_evaluate(
                 {"params": params, "opt_state": opt_state,
                  "batch_stats": batch_stats, "step": global_step})
 
+        if profile_dir and global_step == min(run.max_steps - 1, 5):
+            jax.profiler.stop_trace()
+            profile_dir = None
+
         global_step += 1
 
+    if profile_dir:
+        jax.profiler.stop_trace()
     if run.save_interval > 0:
         ckpt.save_checkpoint(
             os.path.join(run.checkpoint_dir, "final_model.msgpack"),
@@ -308,6 +394,53 @@ def train_and_evaluate(
     if hasattr(writer, "close"):
         writer.close()
     return {"params": params, "batch_stats": batch_stats}
+
+
+def evaluate_model(model: Model, tokenizer, eval_loader, variables,
+                   eval_steps: int = 0, max_new_tokens: int = 150,
+                   suppress_eos: bool = True,
+                   metric_fn: Callable = compute_metrics) -> Dict[str, Any]:
+    """Standalone free-running evaluation (parity:
+    essentials.py:1058-1116, whose encoder/decoder API is stale against
+    the reference's own Model — implemented working here): greedy
+    decode with EOS suppressed until the budget (generate_predictions
+    semantics), returns loss/WER/transcripts/timing."""
+    from asr_model_tpu.models.generate import greedy_decode
+
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    eval_step = make_eval_step(model)
+
+    start = time.time()
+    eval_loss, batches = 0.0, 0
+    all_p, all_l = [], []
+    for i, batch in enumerate(eval_loader):
+        if eval_steps and i >= eval_steps:
+            break
+        dbatch = _device_batch(batch)
+        loss, _ = eval_step(params, batch_stats, dbatch)
+        eval_loss += float(loss)
+        batches += 1
+        gen = greedy_decode(
+            model, {"params": params, "batch_stats": batch_stats},
+            spectrogram=dbatch.get("spectrogram"),
+            pitch=dbatch.get("pitch"), waveform=dbatch.get("waveform"),
+            pitch_tokens=dbatch.get("pitch_tokens"),
+            max_new_tokens=max_new_tokens, suppress_eos=suppress_eos)
+        all_p.extend(np.asarray(gen).tolist())
+        all_l.extend(np.asarray(batch["labels"]).tolist())
+
+    metrics = metric_fn({"predictions": all_p, "label_ids": all_l},
+                        tokenizer=tokenizer)
+    preds_text = tokenizer.batch_decode(all_p)
+    labels_text = tokenizer.batch_decode(all_l)
+    return {
+        "loss": eval_loss / max(batches, 1),
+        "wer": metrics["wer"],
+        "preds": preds_text,
+        "labels": labels_text,
+        "eval_time": time.time() - start,
+    }
 
 
 class _NullWriter:

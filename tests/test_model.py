@@ -151,3 +151,28 @@ def test_tiny_overfit_one_batch():
         params, opt_state, bs, loss = step(params, opt_state, bs)
         losses.append(float(loss))
     assert losses[-1] < losses[0] * 0.5, (losses[0], losses[-1])
+
+
+def test_cross_kv_cache_matches_full_path(setup):
+    """The decode-time cross-attention K/V cache must be numerics-exact
+    vs the full per-step recomputation (parity invariant)."""
+    model, variables, batch = setup
+    xa = modality_slots(pitch=batch["pitch"],
+                        spectrogram=batch["spectrogram"],
+                        waveform=batch["waveform"])
+    xa_enc = model.apply(variables, xa, method=Model.encode)
+    ids = batch["text_ids"][:, :4]
+
+    def full(mdl, ids):
+        return mdl.processor(ids, xa_enc, seq=True)
+
+    def cached(mdl, ids):
+        blk = mdl.processor.block[-1]
+        re_enc = mdl.processor._encode_xa(blk, xa_enc)
+        kv = mdl.processor._precompute_cross(blk, re_enc)
+        return mdl.processor(ids, {}, seq=True, xa_kv=kv)
+
+    a = model.apply(variables, ids, method=full)
+    b = model.apply(variables, ids, method=cached)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               atol=2e-4, rtol=2e-3)

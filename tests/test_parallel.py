@@ -77,3 +77,26 @@ def test_dryrun_multichip_entrypoint():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     mod.dryrun_multichip(8)
+
+
+def test_seq_sharded_attention_matches_unsharded():
+    """kv-sharded online-softmax attention == plain attention."""
+    from asr_model_tpu.models.attention import sdpa
+    from asr_model_tpu.parallel.seq import seq_sharded_attention
+
+    mesh = make_mesh(data=1, model=1, seq=8)
+    rng = np.random.RandomState(0)
+    B, H, Tq, Tk, D = 2, 2, 4, 64, 16
+    q = jnp.asarray(rng.randn(B, H, Tq, D), jnp.float32)
+    k = jnp.asarray(rng.randn(B, H, Tk, D), jnp.float32)
+    v = jnp.asarray(rng.randn(B, H, Tk, D), jnp.float32)
+    want = np.asarray(sdpa(q, k, v))
+    got = np.asarray(seq_sharded_attention(q, k, v, mesh))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=2e-4)
+
+    # with a kv validity mask
+    valid = jnp.asarray(np.arange(Tk)[None] < 40).repeat(B, 0)
+    want_m = np.asarray(sdpa(q, k, v, kv_valid=valid))
+    got_m = np.asarray(seq_sharded_attention(q, k, v, mesh,
+                                             kv_valid=valid))
+    np.testing.assert_allclose(got_m, want_m, atol=2e-5, rtol=2e-4)
