@@ -172,7 +172,7 @@ class AudioEncoder(nn.Module):
             x = blk["dw"](x)
             x = act(x)
             x = self.drop(x, deterministic=not train)
-        x = x + sinusoids(x.shape[1], x.shape[-1], self.theta)
+        x = x + sinusoids(x.shape[1], x.shape[-1], self.theta).astype(x.dtype)
         if self.norm:
             x = self.out_norm(x)
         if self.enc:

@@ -94,7 +94,8 @@ class Residual(nn.Module):
         does not depend on the decoder state (all of which the
         reference recomputes per emitted token, model.py:579-582)."""
         n_router = self.layer - 1
-        xa = xa + sinusoids(xa.shape[1], xa.shape[-1], self.theta)
+        xa = xa + sinusoids(xa.shape[1], xa.shape[-1],
+                            self.theta).astype(xa.dtype)
         xa, _ = self.jump(self.ln(xa), valid=xa_valid)
         mixed = self.router(*[xa] * n_router)
         return self.attn.precompute_kv(mixed)
@@ -112,7 +113,8 @@ class Residual(nn.Module):
             x = x + self.attn(self.ln(x), cached_kv=cached_kv,
                               kv_valid=xa_valid)
         elif xa is not None:
-            xa = xa + sinusoids(xa.shape[1], xa.shape[-1], self.theta)
+            xa = xa + sinusoids(xa.shape[1], xa.shape[-1],
+                                self.theta).astype(xa.dtype)
             xa, jmp = self.jump(self.ln(xa), valid=xa_valid)
             x = x + self.attn(self.ln(x),
                               xa=self.router(*[xa] * n_router), pt=pt,

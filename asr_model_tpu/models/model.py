@@ -101,6 +101,16 @@ class Model(nn.Module):
                 "encoder_blocks": self.param.layer}
 
 
+def cast_variables(variables, dtype=jnp.bfloat16):
+    """Cast float params/stats to ``dtype`` for inference (greedy
+    decode is bf16-robust: logits are still emitted f32).  The model's
+    scan carries and positional adds are dtype-stable, so the whole
+    decode runs at bf16 MXU/VPU rates."""
+    return jax.tree.map(
+        lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x,
+        variables)
+
+
 def init_w(params) -> Dict[str, int]:
     """Module-count self-check (parity: Model.init_w/_init_w,
     model.py:703-719): count Linear/Conv/LayerNorm-shaped parameter

@@ -224,8 +224,9 @@ class MSheath(nn.Module):
             jstat_new = jstat + jnp.where(
                 active, jax.nn.one_hot(action, 3, dtype=jstat.dtype) * b, 0)
 
-            x_c = jnp.where(active, x_out, x)
-            mem_c = jnp.where(active, mem_w_new, mem_w)
+            # keep carry dtypes stable (bf16 inference mode)
+            x_c = jnp.where(active, x_out, x).astype(x.dtype)
+            mem_c = jnp.where(active, mem_w_new, mem_w).astype(mem_w.dtype)
             i_c = jnp.where(active, i_next, i)
             return (x_c, mem_c, i_c, jstat_new), action
 

@@ -18,7 +18,7 @@ import math
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 
 def seq_sharded_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
@@ -48,9 +48,9 @@ def seq_sharded_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         return acc_g / jnp.maximum(l_g, 1e-30)
 
     fn = shard_map(
-        local, mesh,
+        local, mesh=mesh,
         in_specs=(P(), P(None, None, axis, None),
                   P(None, None, axis, None), P(None, axis)),
         out_specs=P(),
-        check_rep=False)
+        check_vma=False)
     return fn(q, k, v, kv_valid)

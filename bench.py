@@ -66,13 +66,16 @@ def main():
     variables = model.init({"params": jax.random.key(0)},
                            jnp.ones((batch, 4), jnp.int32),
                            spectrogram=mel, pitch=pitch, waveform=wave)
+    from asr_model_tpu.models.model import cast_variables
+    variables = cast_variables(variables)     # bf16 inference mode
 
     def transcribe(audio):
-        mel, pitch, wave = frontend(audio)
+        mel, pitch, wave = frontend(audio)    # frontend stays f32
+        cast = lambda t: t.astype(jnp.bfloat16)
         # suppress_eos forces the full token budget: random-init params
         # would otherwise emit EOS immediately and undercount the decode
-        return greedy_decode(model, variables, spectrogram=mel,
-                             pitch=pitch, waveform=wave,
+        return greedy_decode(model, variables, spectrogram=cast(mel),
+                             pitch=cast(pitch), waveform=cast(wave),
                              max_new_tokens=max_new_tokens,
                              suppress_eos=True)
 
