@@ -126,6 +126,39 @@ def data_loader(dataset, batch_size: int = 1, shuffle: bool = False,
                       with_masks=with_masks)
 
 
+class Prefetcher:
+    """Thread-backed prefetching wrapper over any batch iterable —
+    feature extraction (host) overlaps the device train step (the
+    reference's num_workers=0 DataLoader is fully synchronous,
+    SURVEY §3.1)."""
+
+    def __init__(self, iterable, depth: int = 2):
+        self.iterable = iterable
+        self.depth = depth
+
+    def __iter__(self):
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.depth)
+        sentinel = object()
+
+        def worker():
+            try:
+                for item in self.iterable:
+                    q.put(item)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                return
+            yield item
+
+
 class Repeated:
     """Re-iterable view over data_loader for multi-epoch training."""
 

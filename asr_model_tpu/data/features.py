@@ -73,6 +73,21 @@ def pitch_toks(audio: np.ndarray, sample_rate: int, labels: List[int],
     return np.concatenate([[bos], z]).astype(np.float32)
 
 
+def quantize_pitch(pt: np.ndarray, p: Optional[np.ndarray] = None,
+                   num_bins: int = 256, v_min: float = -2.0,
+                   v_max: float = 2.0) -> np.ndarray:
+    """Linear-bin pitch quantizer (essentials.py:416-421): round
+    normalized pitch into [0, num_bins-1]; with a magnitude track ``p``
+    given, return the polar/complex form as (…, 2) real pairs
+    (torch.polar + view_as_real)."""
+    idx = np.clip(np.round((pt - v_min) / (v_max - v_min)
+                           * (num_bins - 1)), 0, num_bins - 1)
+    if p is None:
+        return idx.astype(np.int64)
+    z = p * np.exp(1j * idx)
+    return np.stack([z.real, z.imag], axis=-1).astype(np.float32)
+
+
 def harmonics_and_aperiodics(audio: np.ndarray, sample_rate: int,
                              hop_length: int, n_bins: int = 128):
     """Spectral envelope + aperiodicity, (n_bins, T) each.

@@ -18,6 +18,7 @@ logger = logging.getLogger(__name__)
 _DIR = os.path.dirname(__file__)
 _SOURCES = {
     "bpe": ("bpe.cpp", "libbpe.so"),
+    "wer": ("wer.cpp", "libwer.so"),
 }
 _handles = {}
 
@@ -61,6 +62,11 @@ def load(name: str = "bpe", auto_build: bool = True
         logger.warning("failed to load %s: %s", path, e)
         _handles[name] = None
         return None
+    if name == "wer":
+        lib.wer_levenshtein.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int]
+        lib.wer_levenshtein.restype = ctypes.c_int
     if name == "bpe":
         lib.bpe_new.restype = ctypes.c_void_p
         lib.bpe_free.argtypes = [ctypes.c_void_p]

@@ -18,13 +18,34 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _native_wer():
+    try:
+        from asr_model_tpu import native
+        return native.load("wer")
+    except Exception:        # pragma: no cover - toolchain missing
+        return None
+
+
 def levenshtein(reference_words: List[str], hypothesis_words: List[str]) -> int:
-    """Word-level edit distance, O(m*n) two-row DP."""
+    """Word-level edit distance, O(m*n) two-row DP.  Routes through the
+    C++ engine (native/wer.cpp) when built — the eval hot loop over
+    thousands of utterances."""
     m, n = len(reference_words), len(hypothesis_words)
     if m == 0:
         return n
     if n == 0:
         return m
+    lib = _native_wer()
+    if lib is not None:
+        import ctypes
+        interned: Dict[str, int] = {}
+        def ids(words):
+            return np.asarray([interned.setdefault(w, len(interned))
+                               for w in words], np.int32)
+        r, h = ids(reference_words), ids(hypothesis_words)
+        return int(lib.wer_levenshtein(
+            r.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), m,
+            h.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), n))
     prev = list(range(n + 1))
     for q in range(1, m + 1):
         cur = [q] + [0] * n

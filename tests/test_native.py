@@ -53,3 +53,25 @@ def test_native_throughput_sane(libs):
     dt = time.perf_counter() - t0
     # ~80k chars in well under a second
     assert dt < 2.0
+
+
+def test_native_wer_matches_python():
+    from asr_model_tpu import native
+    from asr_model_tpu.train import metrics
+    if native.build("wer") is None:
+        pytest.skip("g++ unavailable")
+    cases = [
+        (["a", "b", "c"], ["a", "x", "c"]),          # 1 sub
+        (["hello", "world"], ["hello", "there", "world"]),  # 1 ins
+        ([], ["a"]),
+        (["a"] * 50, ["a"] * 49 + ["b"]),
+        (["the", "quick", "brown", "fox"], []),
+    ]
+    for ref, hyp in cases:
+        # force-compare both paths
+        native_d = metrics.levenshtein(ref, hyp)
+        # python path: bypass the native lib
+        import unittest.mock as mock
+        with mock.patch.object(metrics, "_native_wer", lambda: None):
+            py_d = metrics.levenshtein(ref, hyp)
+        assert native_d == py_d, (ref, hyp, native_d, py_d)
