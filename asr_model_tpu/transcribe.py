@@ -1,0 +1,129 @@
+"""High-level transcription API.
+
+The reference has no serving surface (SURVEY §1: "Not present at any
+layer: serving/API") — this is the deliberate capability addition: a
+warm-compiled end-to-end transcriber covering BASELINE configs #1
+(single-utterance greedy) and #4 (long-form chunked).
+
+    t = Transcriber.from_checkpoint(ckpt, tokenizer_path)
+    text = t(audio)                      # np.ndarray or wav path
+    text = t.transcribe_long(audio)     # 30s+ audio
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Union
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from asr_model_tpu.config import Config, Dimensions, ModelConfig
+from asr_model_tpu.data.audio_io import load_wave
+from asr_model_tpu.data.tokenizer import Tokenizer, setup_tokenizer
+from asr_model_tpu.models.generate import greedy_decode
+from asr_model_tpu.models.longform import transcribe_long
+from asr_model_tpu.models.model import Model, cast_variables
+from asr_model_tpu.ops.audio import frame_rate_waveform
+from asr_model_tpu.ops.mel import log_mel_spectrogram
+from asr_model_tpu.ops.pitch import yin_f0
+
+
+class Transcriber:
+    def __init__(self, model: Model, variables, tokenizer: Tokenizer,
+                 sample_rate: int = 16000, hop: int = 160,
+                 use_pitch: bool = True, use_waveform: bool = True,
+                 bf16: bool = True, max_new_tokens: int = 150):
+        self.model = model
+        self.variables = cast_variables(variables) if bf16 else variables
+        self.dtype = jnp.bfloat16 if bf16 else jnp.float32
+        self.tokenizer = tokenizer
+        self.sample_rate = sample_rate
+        self.hop = hop
+        self.use_pitch = use_pitch
+        self.use_waveform = use_waveform
+        self.max_new_tokens = max_new_tokens
+        self._frontend = jax.jit(self._features)
+
+    @classmethod
+    def from_checkpoint(cls, ckpt_path: str, tokenizer_path: str,
+                        cfg: Optional[Config] = None, **kw):
+        from asr_model_tpu.train.checkpoint import restore_checkpoint
+        cfg = cfg or Config()
+        model = Model(param=cfg.model.dims, cfg=cfg.model)
+        tok = setup_tokenizer(tokenizer_path)
+        # init a skeleton to get the treedef, then restore into it
+        mels = cfg.model.dims.mels
+        dummy = jnp.zeros((1, mels, 16), jnp.float32)
+        variables = jax.jit(lambda r: model.init(
+            {"params": r}, jnp.ones((1, 2), jnp.int32),
+            spectrogram=dummy))(jax.random.key(0))
+        import optax  # noqa: F401  (opt_state in full checkpoints)
+        from asr_model_tpu.train.loop import make_optimizer
+        tx, _ = make_optimizer(cfg, variables["params"])
+        target = {"params": variables["params"],
+                  "opt_state": tx.init(variables["params"]),
+                  "batch_stats": variables.get("batch_stats", {}),
+                  "step": 0}
+        restored = restore_checkpoint(ckpt_path, target)
+        return cls(model, {"params": restored["params"],
+                           "batch_stats": restored["batch_stats"]},
+                   tok, **kw)
+
+    def _features(self, audio: jnp.ndarray):
+        mels = self.model.param.mels
+        mel = log_mel_spectrogram(audio, self.sample_rate, 1024,
+                                  self.hop, mels)[None]
+        out = {"spectrogram": mel.astype(self.dtype)}
+        T = mel.shape[-1]
+        if self.use_pitch:
+            f0, _ = yin_f0(audio, fs=self.sample_rate,
+                           frame_period=self.hop / self.sample_rate * 1000)
+            f0 = jnp.pad(f0[None, None, :],
+                         ((0, 0), (0, 0), (0, max(T - f0.shape[-1], 0))))
+            out["pitch"] = f0[..., :T].astype(self.dtype)
+        if self.use_waveform:
+            w = frame_rate_waveform(audio, self.sample_rate, self.hop)
+            out["waveform"] = w[None].astype(self.dtype)
+        return out
+
+    def _load(self, audio: Union[str, np.ndarray]) -> np.ndarray:
+        if isinstance(audio, str):
+            wav, sr = load_wave(audio, self.sample_rate)
+            return np.asarray(wav, np.float32)
+        return np.asarray(audio, np.float32)
+
+    def __call__(self, audio: Union[str, np.ndarray],
+                 max_new_tokens: Optional[int] = None) -> str:
+        """Single-utterance greedy transcription (BASELINE config #1)."""
+        wav = self._load(audio)
+        feats = self._frontend(jnp.asarray(wav))
+        ids = greedy_decode(self.model, self.variables,
+                            spectrogram=feats.get("spectrogram"),
+                            pitch=feats.get("pitch"),
+                            waveform=feats.get("waveform"),
+                            max_new_tokens=max_new_tokens
+                            or self.max_new_tokens)
+        return self.tokenizer.decode(list(np.asarray(ids)[0]))
+
+    def transcribe_long(self, audio: Union[str, np.ndarray],
+                        chunk_sec: float = 30.0, **kw) -> str:
+        """Chunked long-form transcription (BASELINE config #4)."""
+        wav = self._load(audio)
+        _, text = transcribe_long(self.model, self.variables, wav,
+                                  tokenizer=self.tokenizer,
+                                  sample_rate=self.sample_rate,
+                                  chunk_sec=chunk_sec,
+                                  use_pitch=self.use_pitch,
+                                  use_waveform=self.use_waveform, **kw)
+        return text
+
+    def encode_only(self, audio: Union[str, np.ndarray]):
+        """Batched mel + encoder-only forward (BASELINE config #2)."""
+        wav = self._load(audio)
+        feats = self._frontend(jnp.asarray(wav))
+        xa = {"a": feats.get("pitch", feats["spectrogram"]),
+              "b": feats["spectrogram"],
+              "c": feats.get("waveform", feats["spectrogram"])}
+        return self.model.apply(self.variables, xa, method=Model.encode)

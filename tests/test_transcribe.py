@@ -1,0 +1,69 @@
+"""Transcriber API tests: end-to-end single-utterance + checkpoint
+round-trip + encoder-only path."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from asr_model_tpu.config import Config, Dimensions, ModelConfig
+from asr_model_tpu.data.tokenizer import setup_tokenizer
+from asr_model_tpu.models.model import Model
+from asr_model_tpu.train.checkpoint import save_checkpoint
+from asr_model_tpu.train.loop import make_optimizer
+from asr_model_tpu.transcribe import Transcriber
+
+ASSET = os.path.join(os.path.dirname(__file__), "..", "asr_model_tpu",
+                     "assets", "tokenizer.json")
+DIMS = Dimensions(tokens=40000, mels=8, dims=16, head=2, layer=2)
+
+
+@pytest.fixture(scope="module")
+def transcriber():
+    model = Model(param=DIMS, cfg=ModelConfig(dims=DIMS))
+    mel = jnp.zeros((1, 8, 16), jnp.float32)
+    variables = jax.jit(lambda r: model.init(
+        {"params": r}, jnp.ones((1, 2), jnp.int32),
+        spectrogram=mel))(jax.random.key(0))
+    tok = setup_tokenizer(ASSET)
+    return Transcriber(model, variables, tok, use_pitch=False,
+                       use_waveform=False, bf16=False, max_new_tokens=4)
+
+
+def _tone(dur=0.5, sr=16000):
+    t = np.arange(int(sr * dur)) / sr
+    return (0.5 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+
+
+def test_transcribe_single_utterance(transcriber):
+    text = transcriber(_tone())
+    assert isinstance(text, str)
+
+
+def test_encode_only_shapes(transcriber):
+    enc = transcriber.encode_only(_tone())
+    assert enc["b"].shape[-1] == 16          # dims
+    assert enc["b"].shape[0] == 1
+
+
+def test_transcriber_from_checkpoint(tmp_path):
+    cfg = Config(model=ModelConfig(dims=DIMS))
+    model = Model(param=DIMS, cfg=cfg.model)
+    mel = jnp.zeros((1, 8, 16), jnp.float32)
+    variables = jax.jit(lambda r: model.init(
+        {"params": r}, jnp.ones((1, 2), jnp.int32),
+        spectrogram=mel))(jax.random.key(0))
+    tx, _ = make_optimizer(cfg, variables["params"])
+    path = str(tmp_path / "ckpt.msgpack")
+    save_checkpoint(path, {"params": variables["params"],
+                           "opt_state": tx.init(variables["params"]),
+                           "batch_stats": variables.get("batch_stats", {}),
+                           "step": 7})
+    t = Transcriber.from_checkpoint(path, ASSET, cfg=cfg,
+                                    use_pitch=False, use_waveform=False,
+                                    bf16=False, max_new_tokens=3)
+    out = t(_tone(0.3))
+    assert isinstance(out, str)
