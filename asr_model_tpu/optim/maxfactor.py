@@ -167,10 +167,22 @@ def maxfactor(lr: Union[float, Callable] = 0.025, b_decay: float = -0.8,
                 inf_norm > 0, update / jnp.maximum(inf_norm, eps1), update)
             denom = jnp.maximum(1.0, _rms(update) / d)
 
-            use_max = (p_.ndim < 3) | (jnp.asarray(b_label) == 1)
-            scale_max = jnp.max(jnp.abs(update), axis=-1, keepdims=True)
-            scale_med = _lower_median(jnp.abs(update), axis=-1, keepdims=True)
-            scale = jnp.where(use_max, scale_max, scale_med)
+            # the bias predicate (optimizerc.py:113-118) is static per
+            # leaf when labels are concrete ints — skip the median's
+            # full sort (slow on TPU) wherever max is statically chosen
+            if isinstance(b_label, (int, float)) \
+                    and (p_.ndim < 3 or int(b_label) == 1):
+                scale = jnp.max(jnp.abs(update), axis=-1, keepdims=True)
+            elif isinstance(b_label, (int, float)):
+                scale = _lower_median(jnp.abs(update), axis=-1,
+                                      keepdims=True)
+            else:
+                use_max = (p_.ndim < 3) | (jnp.asarray(b_label) == 1)
+                scale_max = jnp.max(jnp.abs(update), axis=-1,
+                                    keepdims=True)
+                scale_med = _lower_median(jnp.abs(update), axis=-1,
+                                          keepdims=True)
+                scale = jnp.where(use_max, scale_max, scale_med)
             final_dir = jnp.sign(update) * scale
             step_size = alpha / denom
 

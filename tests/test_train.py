@@ -86,3 +86,39 @@ def test_grad_norm_controller_behavior():
     # short history: no change
     out = grad_norm_controller([1.0] * 5, {"s": 0.5})
     assert out["s"] == 0.5
+
+
+def test_train_step_deterministic_given_key(trained):
+    """Same PRNG key + same batch -> bit-identical step outputs
+    (SURVEY §5.2: determinism replaces the reference's global-RNG
+    gumbel)."""
+    from asr_model_tpu.data.dataset import data_loader
+    from asr_model_tpu.data.dataset import SyntheticDataset
+    from asr_model_tpu.train.loop import make_optimizer, make_train_step
+    model, variables, cfg, tok, loader, tmp = trained
+    batch = next(iter(loader))
+    dbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+    params = variables["params"]
+    bs = variables.get("batch_stats", {})
+    tx, _ = make_optimizer(cfg, params)
+    opt_state = tx.init(params)
+    step = make_train_step(model, tx)
+    k = jax.random.key(42)
+    copy = lambda t: jax.tree.map(lambda x: jnp.array(x), t)
+    p1, _, _, _, l1, g1, _ = step(copy(params), copy(opt_state),
+                                  copy(bs), k, dbatch)
+    p2, _, _, _, l2, g2, _ = step(copy(params), copy(opt_state),
+                                  copy(bs), k, dbatch)
+    assert float(l1) == float(l2)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_evaluate_model_standalone(trained):
+    from asr_model_tpu.train.loop import evaluate_model
+    model, variables, cfg, tok, loader, tmp = trained
+    res = evaluate_model(model, tok, loader, variables, eval_steps=1,
+                         max_new_tokens=4)
+    assert set(res) >= {"loss", "wer", "preds", "labels", "eval_time"}
+    assert np.isfinite(res["loss"])
+    assert isinstance(res["preds"][0], str)
