@@ -12,7 +12,6 @@ axes for DP/TP.
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import logging
 import os
 from datetime import datetime

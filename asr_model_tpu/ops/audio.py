@@ -8,9 +8,6 @@ or linear interpolation upsample).
 
 from __future__ import annotations
 
-import functools
-
-import jax
 import jax.numpy as jnp
 
 from asr_model_tpu.config import THETA

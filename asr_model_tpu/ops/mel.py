@@ -17,7 +17,6 @@ ops/pallas/mel_kernel.py and is numerics-checked against this module.
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp

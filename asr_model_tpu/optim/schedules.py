@@ -11,7 +11,6 @@ Both are pure functions of the step counter (the reference's
 
 from __future__ import annotations
 
-import math
 from typing import Callable, Optional
 
 import jax.numpy as jnp

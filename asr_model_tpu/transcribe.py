@@ -59,7 +59,6 @@ class Transcriber:
         variables = jax.jit(lambda r: model.init(
             {"params": r}, jnp.ones((1, 2), jnp.int32),
             spectrogram=dummy))(jax.random.key(0))
-        import optax  # noqa: F401  (opt_state in full checkpoints)
         from asr_model_tpu.train.loop import make_optimizer
         tx, _ = make_optimizer(cfg, variables["params"])
         target = {"params": variables["params"],

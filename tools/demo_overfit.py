@@ -79,22 +79,33 @@ def main():
     for i in range(args.steps):
         params, opt_state, bs, rng, loss, gnorm, _ = step(
             params, opt_state, bs, rng, dbatch)
-        if i % 50 == 0 or i == args.steps - 1:
+        if i % 200 == 0 or i == args.steps - 1:
             l = float(loss)
             losses.append(l)
-            print(f"step {i:4d}  loss {l:8.4f}  gnorm {float(gnorm):9.2f}"
+            print(f"step {i:5d}  loss {l:8.4f}  gnorm {float(gnorm):9.2f}"
                   f"  ({time.time()-t0:.0f}s)", flush=True)
+            if l < 0.05:
+                # early stop at convergence: past this point the
+                # decoupled weight decay erodes the saturated fit
+                # (grads are ~0 at prob 1.0 but decay keeps shrinking)
+                print(f"early stop at step {i} (loss {l:.4f})", flush=True)
+                break
 
-    # teacher-forced WER
+    # teacher-forced WER: trim predictions at each label's true length
+    # (argmax at PAD positions is arbitrary — the reference never
+    # learns them since CE ignores pads; its default B=1 has no pads)
     out = model.apply({"params": params, "batch_stats": bs},
                       dbatch["text_ids"], labels=dbatch["labels"],
                       spectrogram=dbatch["spectrogram"])
     tf_preds = np.asarray(jnp.argmax(out["logits"], -1))
-    refs = tok.batch_decode(np.asarray(dbatch["labels"]).tolist())
-    tf_hyps = tok.batch_decode(tf_preds.tolist())
+    labels_np = np.asarray(dbatch["labels"])
+    lengths = (labels_np != 0).sum(-1)
+    refs = tok.batch_decode(labels_np.tolist())
+    tf_hyps = tok.batch_decode(
+        [list(p[:n]) for p, n in zip(tf_preds, lengths)])
     tf_wer = wer_batch(refs, tf_hyps)
 
-    # free-running greedy WER
+    # free-running greedy WER (stops at EOS)
     ids = greedy_decode(model, {"params": params, "batch_stats": bs},
                         spectrogram=dbatch["spectrogram"],
                         max_new_tokens=int(dbatch["labels"].shape[1]))
