@@ -132,6 +132,7 @@ class Processor(nn.Module):
     n_type: str
     ctx: int = 2048
     chained: bool = False
+    causal_all: bool = False
     pitch_token_vocab: int = 1024
     pitch_token_bins: int = 256
 
@@ -172,31 +173,39 @@ class Processor(nn.Module):
                    text_valid=None, xa_masks=None, xa_kv=None):
         T = x.shape[1]
         xa_masks = xa_masks or {}
+        # reference parity: only the `a` call is causal (model.py:618);
+        # causal_all=True masks every decoder self-attention so
+        # free-running decode matches training (see BENCH_NOTES)
+        ca = self.causal_all
         if xa_kv is not None:
             a = blk(x, causal=True, pt=pt, x_valid=text_valid)
-            b = blk(a, cached_kv=xa_kv.get("a"), x_valid=text_valid,
+            b = blk(a, causal=ca, cached_kv=xa_kv.get("a"),
+                    x_valid=text_valid,
                     xa_valid=xa_masks.get("a")) if "a" in xa_kv else a
-            c = blk(b, cached_kv=xa_kv.get("b"), x_valid=text_valid,
+            c = blk(b, causal=ca, cached_kv=xa_kv.get("b"),
+                    x_valid=text_valid,
                     xa_valid=xa_masks.get("b")) if "b" in xa_kv else b
-            d = blk(c, cached_kv=xa_kv.get("c"), x_valid=text_valid,
+            d = blk(c, causal=ca, cached_kv=xa_kv.get("c"),
+                    x_valid=text_valid,
                     xa_valid=xa_masks.get("c")) if "c" in xa_kv else c
             e = a + b + c
             f = jnp.concatenate([d, e], axis=1)
-            g = blk(f[:, :T], xa=f[:, T:], x_valid=text_valid,
+            g = blk(f[:, :T], causal=ca, xa=f[:, T:], x_valid=text_valid,
                     xa_valid=text_valid)
             return d, g
         a = blk(x, causal=True, pt=pt, x_valid=text_valid)
-        b = blk(a, xa=xa_enc.get("a"), pt=pt, x_valid=text_valid,
+        b = blk(a, causal=ca, xa=xa_enc.get("a"), pt=pt,
+                x_valid=text_valid,
                 xa_valid=xa_masks.get("a")) if "a" in xa_enc else a
-        c = blk(b, xa=xa_enc.get("b"), pt=pt, x_valid=text_valid,
+        c = blk(b, causal=ca, xa=xa_enc.get("b"), pt=pt,
+                x_valid=text_valid,
                 xa_valid=xa_masks.get("b")) if "b" in xa_enc else b
-        d = blk(c, xa=xa_enc.get("c"), pt=pt, x_valid=text_valid,
+        d = blk(c, causal=ca, xa=xa_enc.get("c"), pt=pt,
+                x_valid=text_valid,
                 xa_valid=xa_masks.get("c")) if "c" in xa_enc else c
         e = a + b + c
         f = jnp.concatenate([d, e], axis=1)
-        f_valid = (jnp.concatenate([text_valid, text_valid], axis=1)
-                   if text_valid is not None else None)
-        g = blk(f[:, :T], xa=f[:, T:], x_valid=text_valid,
+        g = blk(f[:, :T], causal=ca, xa=f[:, T:], x_valid=text_valid,
                 xa_valid=text_valid)
         return d, g
 

@@ -57,6 +57,7 @@ class Model(nn.Module):
             tokens=p.tokens, mels=p.mels, dims=p.dims, head=p.head,
             layer=p.layer, act=p.act, n_type=p.n_type, ctx=self.cfg.ctx,
             chained=self.cfg.chained_blocks,
+            causal_all=self.cfg.causal_all,
             pitch_token_vocab=self.cfg.pitch_token_vocab,
             pitch_token_bins=self.cfg.pitch_token_bins)
         self.enc = AudioEncoder(

@@ -176,3 +176,28 @@ def test_cross_kv_cache_matches_full_path(setup):
     b = model.apply(variables, ids, method=cached)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                atol=2e-4, rtol=2e-3)
+
+
+def test_processor_is_not_causal_beyond_attention():
+    """Documented property: the processor leaks future-token information
+    into earlier positions EVEN with causal_all=True — MSheath's global
+    working-memory pooling (model.py:463-465) and the d||e concatenation
+    cross-attention (model.py:625-626) are non-causal by construction.
+    This is why the reference's default eval metric is teacher-forced
+    WER (SURVEY §3.4) and why decode recomputes the whole prefix.  A
+    fully prefix-causal 'streaming' variant is future work."""
+    dims = Dimensions(tokens=30, mels=4, dims=16, head=2, layer=2)
+    rng = np.random.RandomState(0)
+    spec = jnp.asarray(rng.randn(1, 4, 10), jnp.float32)
+    ids1 = jnp.asarray([[1, 5, 6, 7]])
+    ids2 = jnp.asarray([[1, 5, 9, 9]])          # differs only at t>=2
+    for causal_all in (False, True):
+        model = Model(param=dims,
+                      cfg=ModelConfig(dims=dims, causal_all=causal_all))
+        variables = jax.jit(lambda r: model.init(
+            {"params": r}, ids1, spectrogram=spec))(jax.random.key(0))
+        l1 = model.apply(variables, ids1, spectrogram=spec)["logits"]
+        l2 = model.apply(variables, ids2, spectrogram=spec)["logits"]
+        assert not np.allclose(np.asarray(l1)[:, :2],
+                               np.asarray(l2)[:, :2], atol=1e-5), \
+            f"unexpectedly causal (causal_all={causal_all})"

@@ -24,6 +24,9 @@ def main():
     ap.add_argument("--dims", type=int, default=64)
     ap.add_argument("--n-utts", type=int, default=4)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--causal-all", action="store_true",
+                    help="decode-consistent variant: every decoder "
+                         "self-attention causal (non-parity)")
     args = ap.parse_args()
 
     import jax
@@ -58,7 +61,8 @@ def main():
 
     dims = Dimensions(tokens=40000, mels=32, dims=args.dims, head=4,
                       layer=2)
-    cfg = Config(model=ModelConfig(dims=dims),
+    cfg = Config(model=ModelConfig(dims=dims,
+                                   causal_all=args.causal_all),
                  optim=OptimConfig(lr=2.5e-3, warmup_steps=20,
                                    total_steps=args.steps * 10))
     model = Model(param=dims, cfg=cfg.model)
