@@ -52,6 +52,13 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="length-bucket padding so jit sees few static "
                         "shapes (0 = exact reference padding, recompiles "
                         "per length)")
+    p.add_argument("--mesh-data", type=int, default=1,
+                   help="data-parallel mesh axis size (batch sharding)")
+    p.add_argument("--mesh-model", type=int, default=1,
+                   help="tensor-parallel mesh axis size (heads/MLP/vocab "
+                        "sharding)")
+    p.add_argument("--mesh-seq", type=int, default=1,
+                   help="sequence-parallel mesh axis size")
     return p
 
 
@@ -111,7 +118,21 @@ def main(argv=None):
                       eval_interval=args.eval_interval,
                       save_interval=args.save_interval,
                       checkpoint_dir=args.checkpoint_dir or log_dir,
-                      log_dir=log_dir, generate=args.generate))
+                      log_dir=log_dir, generate=args.generate,
+                      mesh_data=args.mesh_data, mesh_model=args.mesh_model,
+                      mesh_seq=args.mesh_seq))
+
+    n_mesh = args.mesh_data * args.mesh_model * args.mesh_seq
+    if n_mesh > 1:
+        import jax
+        if len(jax.devices()) < n_mesh:
+            raise SystemExit(
+                f"mesh {args.mesh_data}x{args.mesh_model}x{args.mesh_seq} "
+                f"needs {n_mesh} devices, have {len(jax.devices())}")
+        if args.batch_size % args.mesh_data != 0:
+            raise SystemExit(
+                f"--batch-size {args.batch_size} must be a multiple of "
+                f"--mesh-data {args.mesh_data}")
 
     if args.synthetic:
         dataset = SyntheticDataset(n=args.synthetic, tokenizer=tokenizer,

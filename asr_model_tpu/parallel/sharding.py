@@ -90,9 +90,19 @@ def param_shardings(params, mesh: Mesh):
 
 
 def batch_shardings(batch, mesh: Mesh):
-    """Shard the leading batch axis over 'data'."""
+    """Shard the leading batch axis over 'data'.
+
+    Ragged tail batches (e.g. the last eval batch of a split) whose
+    leading dim doesn't divide the data axis are replicated instead —
+    correct, just without DP speedup for that one batch."""
+    n = mesh.shape["data"]
+
     def shard(leaf):
-        return NamedSharding(mesh, P("data"))
+        import numpy as _np
+        dim0 = _np.shape(leaf)[0] if _np.ndim(leaf) else 0
+        spec = P("data") if dim0 % n == 0 and dim0 > 0 else P()
+        return NamedSharding(mesh, spec)
+
     return jax.tree.map(shard, batch)
 
 
@@ -107,35 +117,16 @@ def shard_params(params, mesh: Mesh):
 
 def make_sharded_train_step(model, tx, mesh: Mesh,
                             clip_grad_norm: float = 0.0) -> Callable:
-    """The jitted DP(+TP) train step: batch sharded over 'data', params
-    TP-sharded per the rules; XLA's SPMD partitioner inserts the
-    gradient psum over 'data' and the TP collectives over 'model'."""
+    """The jitted DP(+TP) train step.
 
-    def step_fn(params, opt_state, batch_stats, rng, batch):
-        rng, gumbel, drop = jax.random.split(rng, 3)
-
-        def loss_fn(p):
-            variables = {"params": p, "batch_stats": batch_stats}
-            out, mut = model.apply(
-                variables, batch["text_ids"], labels=batch["labels"],
-                spectrogram=batch.get("spectrogram"),
-                pitch=batch.get("pitch"),
-                waveform=batch.get("waveform"),
-                pitch_tokens=batch.get("pitch_tokens"),
-                train=True, rngs={"gumbel": gumbel, "dropout": drop},
-                mutable=["batch_stats"])
-            return out["loss"], mut["batch_stats"]
-
-        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params)
-        if clip_grad_norm > 0:
-            gsq = sum(jnp.sum(g.astype(jnp.float32) ** 2)
-                      for g in jax.tree.leaves(grads))
-            factor = jnp.minimum(1.0,
-                                 clip_grad_norm / (jnp.sqrt(gsq) + 1e-6))
-            grads = jax.tree.map(lambda g: g * factor, grads)
-        updates, new_opt = tx.update(grads, opt_state, params=params)
-        new_params = optax.apply_updates(params, updates)
-        return new_params, new_opt, new_bs, rng, loss
-
-    return jax.jit(step_fn, donate_argnums=(0, 1, 2))
+    Under XLA's SPMD partitioner the step *function* is the same program
+    as the single-device one (``train.loop.make_train_step``) — what
+    distributes it is the sharding of its inputs: batch over 'data'
+    (``batch_shardings``), params per the TP rules (``shard_params``).
+    XLA then inserts the gradient psum over 'data' and the TP
+    collectives over 'model' on ICI.  Returns the same 7-tuple
+    (params, opt_state, batch_stats, rng, loss, gnorm, jstat) so the
+    training loop can drive either step interchangeably."""
+    del mesh  # shardings travel with the inputs; kept for API clarity
+    from asr_model_tpu.train.loop import make_train_step
+    return make_train_step(model, tx, clip_grad_norm)

@@ -11,9 +11,11 @@ update + schedule — no host round-trips inside (the reference's
 per-param ``.item()`` syncs become two device scalars fetched per
 step: loss and global grad norm).  BatchNorm running stats live in the
 ``batch_stats`` collection and are threaded through the step.  The
-grad-norm controller runs on host between steps (it mutates a scalar
-that enters the jitted step as an argument, so no recompilation —
-SURVEY hard-part #7).
+grad-norm controller runs on host between steps; like the reference
+(whose oneshot_modules scan finds nothing, §2.1 OneShot), the scale it
+maintains is logged but feeds no live module — models that do mount a
+OneShot bias take the scale as a device-scalar argument so updating it
+never recompiles (SURVEY hard-part #7).
 """
 
 from __future__ import annotations
@@ -192,9 +194,22 @@ def grad_norm_controller(grad_history, scales: Dict[str, float],
     return scales
 
 
-def _device_batch(batch) -> Dict[str, jnp.ndarray]:
-    return {k: jnp.asarray(v) for k, v in batch.items()
-            if v is not None}
+def _device_batch(batch, mesh=None) -> Dict[str, jnp.ndarray]:
+    arrs = {k: v for k, v in batch.items() if v is not None}
+    if mesh is None:
+        return {k: jnp.asarray(v) for k, v in arrs.items()}
+    from asr_model_tpu.parallel.sharding import batch_shardings
+    return jax.device_put(arrs, batch_shardings(arrs, mesh))
+
+
+def _maybe_mesh(run):
+    """Build the device mesh from RunConfig.mesh_* (SURVEY §2.5 items
+    1-3); None when all axes are 1 (single-device path)."""
+    if run.mesh_data * run.mesh_model * run.mesh_seq <= 1:
+        return None
+    from asr_model_tpu.parallel.mesh import make_mesh
+    return make_mesh(data=run.mesh_data, model=run.mesh_model,
+                     seq=run.mesh_seq)
 
 
 def train_and_evaluate(
@@ -255,6 +270,25 @@ def train_and_evaluate(
         logger.info("restored checkpoint at step %d from %s",
                     global_step, resume_from)
 
+    mesh = _maybe_mesh(run)
+    if mesh is not None:
+        # DP(+TP) training: place params per the TP rules, replicate the
+        # factored optimizer state and batch norm stats, and let the
+        # SPMD partitioner distribute the (identical) step program.
+        from asr_model_tpu.parallel.sharding import replicated, shard_params
+        if run.batch_size % run.mesh_data != 0:
+            raise ValueError(
+                f"batch_size {run.batch_size} must divide mesh_data "
+                f"{run.mesh_data}")
+        params = shard_params(params, mesh)
+        opt_state = jax.device_put(opt_state, replicated(opt_state, mesh))
+        batch_stats = jax.device_put(batch_stats,
+                                     replicated(batch_stats, mesh))
+        from jax.sharding import NamedSharding, PartitionSpec
+        rng = jax.device_put(rng, NamedSharding(mesh, PartitionSpec()))
+        logger.info("training on mesh data:%d x model:%d x seq:%d",
+                    run.mesh_data, run.mesh_model, run.mesh_seq)
+
     train_step = make_train_step(model, tx, run.clip_grad_norm)
     eval_step = make_eval_step(model)
     grad_diag = make_grad_diagnostics(model) if log_detail else None
@@ -268,6 +302,7 @@ def train_and_evaluate(
     grad_history: list = []
     oneshot_scales = {"oneshot": 0.3}    # latent in the reference (§2.1)
     total_loss = 0.0
+    steps_this_run = 0            # Loss/train averages steps of THIS run
     train_iter = iter(train_loader)
     samples_per_sec = 0.0
 
@@ -279,13 +314,14 @@ def train_and_evaluate(
             batch = next(train_iter)
 
         start = time.time()
-        dbatch = _device_batch(batch)
+        dbatch = _device_batch(batch, mesh)
         params, opt_state, batch_stats, rng, loss, gnorm, jstat = \
             train_step(params, opt_state, batch_stats, rng, dbatch)
 
         loss_f = float(loss)
         gnorm_f = float(gnorm)
         total_loss += loss_f
+        steps_this_run += 1
         grad_history.append(gnorm_f)
         oneshot_scales = grad_norm_controller(grad_history, oneshot_scales)
         if len(grad_history) > 100:
@@ -295,7 +331,10 @@ def train_and_evaluate(
 
         if global_step % run.log_interval == 0:
             lr = float(sched(global_step))
-            writer.add_scalar("Loss/train", total_loss / (global_step + 1),
+            # running mean over steps of this run only — denominating by
+            # global_step would corrupt the scalar after --resume, where
+            # total_loss restarts at 0 but global_step doesn't
+            writer.add_scalar("Loss/train", total_loss / steps_this_run,
                               global_step)
             writer.add_scalar("LearningRate", lr, global_step)
             writer.add_scalar("SamplesPerSec", samples_per_sec, global_step)
@@ -335,7 +374,7 @@ def train_and_evaluate(
             eval_loss, n_eval, batches = 0.0, 0, 0
             all_p, all_l = [], []
             for ebatch in eval_loader:
-                debatch = _device_batch(ebatch)
+                debatch = _device_batch(ebatch, mesh)
                 l, preds = eval_step(params, batch_stats, debatch)
                 eval_loss += float(l)
                 batches += 1
