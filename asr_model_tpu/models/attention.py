@@ -81,14 +81,19 @@ def rbf_scores(q: jnp.ndarray, k: jnp.ndarray, rbf_sigma: float = 1.0,
     return (1 - rbf_ratio) * dot + rbf_ratio * rbf
 
 
-def sdpa(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-         causal: bool = False,
-         kv_valid: Optional[jnp.ndarray] = None,
-         bias: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-    """Scaled dot-product attention over (B,H,T,hd) with the torch-SDPA
-    internal scale 1/sqrt(head_dim).  ``kv_valid``: (B, Tk) bool."""
-    hd = q.shape[-1]
-    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) / math.sqrt(hd)
+# Pallas flash-attention routing: "auto" routes tile-friendly shapes on
+# TPU to ops/pallas/attention_kernel.flash_attention; "on" forces it
+# (interpret mode off-TPU, for tests); "off" disables.
+FLASH = "auto"
+
+# below these, the (Tq, Tk) score tile fits comfortably and the plain
+# XLA path (one fused softmax) is faster than paying kernel dispatch
+_FLASH_MIN_TQ = 128
+_FLASH_MIN_TK = 128
+
+
+def _sdpa_xla(q, k, v, causal, kv_valid, bias, scale):
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
     if bias is not None:
         logits = logits + bias
     if causal:
@@ -99,6 +104,58 @@ def sdpa(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         logits = jnp.where(kv_valid[:, None, None, :], logits, NEG_INF)
     w = jax.nn.softmax(logits, axis=-1)
     return jnp.einsum("bhqk,bhkd->bhqd", w, v)
+
+
+def _flash_eligible(q, k, bias) -> bool:
+    if FLASH == "off" or bias is not None:
+        return False
+    if q.shape[-1] % 128 != 0:         # head_dim must fill the lanes
+        return False
+    if q.shape[2] < _FLASH_MIN_TQ or k.shape[2] < _FLASH_MIN_TK:
+        return False
+    return FLASH == "on" or jax.default_backend() == "tpu"
+
+
+def _sdpa_flash(q, k, v, causal, kv_valid, scale):
+    """Flash kernel forward; backward recomputes through the XLA math
+    (the kernel defines no VJP — the backward materializes the score
+    matrix like the plain path, while the forward stays fused)."""
+    from asr_model_tpu.ops.pallas.attention_kernel import flash_attention
+
+    @jax.custom_vjp
+    def f(q, k, v):
+        return flash_attention(q, k, v, causal=causal, kv_valid=kv_valid,
+                               scale=scale)
+
+    def fwd(q, k, v):
+        return f(q, k, v), (q, k, v)
+
+    def bwd(res, g):
+        q, k, v = res
+        _, vjp = jax.vjp(
+            lambda q_, k_, v_: _sdpa_xla(q_, k_, v_, causal, kv_valid,
+                                         None, scale), q, k, v)
+        return vjp(g)
+
+    f.defvjp(fwd, bwd)
+    return f(q, k, v)
+
+
+def sdpa(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+         causal: bool = False,
+         kv_valid: Optional[jnp.ndarray] = None,
+         bias: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Scaled dot-product attention over (B,H,T,hd) with the torch-SDPA
+    internal scale 1/sqrt(head_dim).  ``kv_valid``: (B, Tk) bool.
+
+    On TPU, tile-friendly shapes (head_dim a lane multiple, long enough
+    Tq/Tk — the long-form encoder case) route to the fused Pallas flash
+    kernel; everything else takes the plain XLA path."""
+    hd = q.shape[-1]
+    scale = 1.0 / math.sqrt(hd)
+    if _flash_eligible(q, k, bias):
+        return _sdpa_flash(q, k, v, causal, kv_valid, scale)
+    return _sdpa_xla(q, k, v, causal, kv_valid, bias, scale)
 
 
 class Attention(nn.Module):

@@ -133,6 +133,18 @@ def whisper_compress(mel: jnp.ndarray) -> jnp.ndarray:
     return (log_mel + 4.0) / 4.0
 
 
+# Pallas fused-mel routing: "auto" routes 1-D inputs on TPU to the
+# fused frame/window/DFT/mel kernel (ops/pallas/mel_kernel.py); "on"
+# forces it (interpret mode off-TPU, for tests); "off" disables.
+PALLAS_MEL = "auto"
+
+
+def _pallas_mel_eligible(audio) -> bool:
+    if PALLAS_MEL == "off" or audio.ndim != 1:
+        return False
+    return PALLAS_MEL == "on" or jax.default_backend() == "tpu"
+
+
 def log_mel_spectrogram(audio: jnp.ndarray, sample_rate: int = 16000,
                         n_fft: int = 1024, hop_length: int = 160,
                         n_mels: int = 128, f_min: float = 50.0,
@@ -141,6 +153,16 @@ def log_mel_spectrogram(audio: jnp.ndarray, sample_rate: int = 16000,
 
     Note the compression max is per-call (per utterance): batch inputs
     should be vmapped if per-utterance max semantics are wanted.
+
+    On TPU, 1-D inputs route to the fused Pallas mel kernel (the
+    north-star item, SURVEY §2.4); the XLA path is the fallback and the
+    numerics reference.
     """
+    if _pallas_mel_eligible(audio):
+        from asr_model_tpu.ops.pallas.mel_kernel import (
+            pallas_log_mel_spectrogram)
+        return pallas_log_mel_spectrogram(
+            audio, sample_rate=sample_rate, n_fft=n_fft,
+            hop_length=hop_length, n_mels=n_mels, f_min=f_min, f_max=f_max)
     return whisper_compress(mel_spectrogram(audio, sample_rate, n_fft,
                                             hop_length, n_mels, f_min, f_max))

@@ -54,6 +54,65 @@ def test_flash_attention_kv_mask():
     np.testing.assert_allclose(got, want_trunc, atol=2e-5, rtol=2e-4)
 
 
+def test_sdpa_flash_routing_matches_and_differentiates():
+    """attention.sdpa routes to the flash kernel when FLASH='on'
+    (interpret off-TPU) with identical numerics and working grads
+    (custom-VJP backward through the XLA math)."""
+    from asr_model_tpu.models import attention as A
+
+    rng = np.random.RandomState(4)
+    B, H, T, D = 1, 2, 192, 128   # above the routing thresholds
+    q = jnp.asarray(rng.randn(B, H, T, D) * 0.1, jnp.float32)
+    k = jnp.asarray(rng.randn(B, H, T, D) * 0.1, jnp.float32)
+    v = jnp.asarray(rng.randn(B, H, T, D), jnp.float32)
+
+    def loss(q, k, v):
+        return jnp.sum(A.sdpa(q, k, v, causal=True) ** 2)
+
+    old = A.FLASH
+    try:
+        A.FLASH = "off"
+        jax.clear_caches()
+        want = np.asarray(A.sdpa(q, k, v, causal=True))
+        gw = jax.grad(loss)(q, k, v)
+        A.FLASH = "on"
+        jax.clear_caches()
+        got = np.asarray(A.sdpa(q, k, v, causal=True))
+        gg = jax.grad(loss)(q, k, v)
+    finally:
+        A.FLASH = old
+        jax.clear_caches()
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(gw), np.asarray(gg),
+                               atol=5e-4, rtol=5e-3)
+    # below the thresholds the XLA path is used (no kernel dispatch):
+    assert not A._flash_eligible(q[:, :, :64], k[:, :, :64], None)
+
+
+def test_log_mel_pallas_routing_matches():
+    """ops.mel.log_mel_spectrogram routes to the fused Pallas kernel
+    when PALLAS_MEL='on' with tolerance-close numerics."""
+    from asr_model_tpu.ops import mel as M
+
+    rng = np.random.RandomState(5)
+    audio = jnp.asarray(rng.randn(16000), jnp.float32)
+    old = M.PALLAS_MEL
+    try:
+        M.PALLAS_MEL = "off"
+        jax.clear_caches()
+        want = np.asarray(M.log_mel_spectrogram(audio, n_mels=32))
+        M.PALLAS_MEL = "on"
+        jax.clear_caches()
+        got = np.asarray(M.log_mel_spectrogram(audio, n_mels=32))
+    finally:
+        M.PALLAS_MEL = old
+        jax.clear_caches()
+    assert got.shape == want.shape
+    # post-compression scale: (log10 mel + 4)/4
+    np.testing.assert_allclose(got, want, atol=5e-2)
+    assert np.abs(got - want).mean() < 1e-3
+
+
 def test_flash_attention_uneven_lengths():
     rng = np.random.RandomState(3)
     B, H, Tq, Tk, D = 1, 1, 130, 200, 16   # crosses tile boundaries
