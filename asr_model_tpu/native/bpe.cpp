@@ -52,6 +52,11 @@ static void utf8_split(const char* s, std::vector<std::string>& out) {
         else if ((*p & 0xE0u) == 0xC0u) len = 2;
         else if ((*p & 0xF0u) == 0xE0u) len = 3;
         else if ((*p & 0xF8u) == 0xF0u) len = 4;
+        // a truncated multi-byte sequence at end of input must not read
+        // past the NUL: clamp len to the bytes actually present
+        int avail = 1;
+        while (avail < len && p[avail] != 0) ++avail;
+        len = avail;
         out.emplace_back(reinterpret_cast<const char*>(p),
                          static_cast<size_t>(len));
         p += len;

@@ -8,7 +8,19 @@ model.py:783).  Per step, for each parameter:
 * factored variance for >=2-D params: row/col EMAs of squared row/col
   norms divided by the opposing size + 1e-8, variance estimate
   ``row @ col / max_row_var`` (optimizerc.py:80-87); full EMA ``v``
-  with ``gamma`` for 1-D (optimizerc.py:89-90);
+  with ``gamma`` for 1-D (optimizerc.py:89-90).
+  **Note on the reference's 1-D state aliasing:** the reference's
+  in-place chain ``var_est.clamp_().rsqrt_().mul_(grad)`` aliases
+  ``state['v']`` for 1-D params, overwriting the stored second moment
+  with the normalized update every step.  This implementation keeps a
+  clean EMA ``v``.  The divergence in stored state provably does NOT
+  change the parameter trajectory: 1-D params always take the
+  sign*max row scaling (``param.dim() < 3``), the inf-norm
+  normalization pins the max |update| at exactly 1, and RMS(update)
+  <= 1 forces ``denom = 1`` — so the applied 1-D step is
+  ``alpha * sign(grad)`` regardless of ``v``'s contents (verified
+  empirically against the reference: 5-step 1-D trajectories agree to
+  f32 precision; the golden tests cover the (16,) shape);
 * ``update = rsqrt(clamp(var, eps1^2)) * grad`` normalized by its
   inf-norm (optimizerc.py:92-97);
 * trust-ratio step ``alpha = max(eps2, RMS(param)) * rho_t`` with

@@ -225,10 +225,48 @@ def maxfactor1(lr=0.025, **kw):
     return optax.GradientTransformationExtraArgs(init, upd)
 
 
+class TrackedLRState(NamedTuple):
+    """Optimizer state + the last step's mean trust-ratio step size.
+
+    The reference's MaxFactor2/MaxHeadRoom surface their actual step
+    magnitude through ``get_lr``/``get_last_lr`` (optimizerc.py:467-493,
+    797-926) — host methods reading Python floats.  The TPU-native form
+    is a device scalar carried in the optimizer state: read it after any
+    update with ``get_last_lr(opt_state)`` (no extra host syncs inside
+    the jitted step)."""
+    inner: MaxFactorState
+    effective_lr: jnp.ndarray
+
+
+def get_last_lr(opt_state) -> float:
+    """The reference's get_last_lr(): mean per-parameter effective lr
+    (trust-ratio alpha) of the most recent step.  Accepts a
+    TrackedLRState or any optax wrapper state containing one."""
+    if isinstance(opt_state, TrackedLRState):
+        return float(opt_state.effective_lr)
+    for s in jax.tree.leaves(
+            opt_state, is_leaf=lambda x: isinstance(x, TrackedLRState)):
+        if isinstance(s, TrackedLRState):
+            return float(s.effective_lr)
+    raise ValueError("no TrackedLRState found: use maxfactor2/maxheadroom")
+
+
+def _with_tracked_lr(init, upd):
+    def init_fn(params):
+        return TrackedLRState(init(params), jnp.zeros((), jnp.float32))
+
+    def update_fn(grads, state, params=None):
+        deltas, new_inner, alpha = upd(grads, state.inner, params=params)
+        return deltas, TrackedLRState(new_inner,
+                                      jnp.asarray(alpha, jnp.float32))
+
+    return optax.GradientTransformationExtraArgs(init_fn, update_fn)
+
+
 def maxfactor2(lr=0.025, **kw):
     """1-D params: raw normalized update; >1-D: row-max sign scaling.
-    The returned transformation also exposes ``effective_lr`` via the
-    3-tuple update (the reference's get_lr)."""
+    The state is a TrackedLRState: ``get_last_lr(opt_state)`` reports
+    the mean effective lr of the last step (optimizerc.py:467-493)."""
 
     def scale_fn(u, p, label):
         if p.ndim > 1:
@@ -242,12 +280,7 @@ def maxfactor2(lr=0.025, **kw):
         kw.get("clip", False), kw.get("cap", 0.0),
         beta_clamp=True, rho_floor=True, guard_inf_norm=True,
         scale_fn=scale_fn, track_alpha=True)
-
-    def update_fn(grads, state, params=None):
-        deltas, new_state, alpha = upd(grads, state, params=params)
-        return deltas, new_state
-
-    return optax.GradientTransformationExtraArgs(init, update_fn)
+    return _with_tracked_lr(init, upd)
 
 
 def maxfactorb(lr=0.00025, bias: int = 1, **kw):
@@ -269,8 +302,18 @@ def maxfactorb(lr=0.00025, bias: int = 1, **kw):
 
 
 def maxheadroom(lr=0.025, **kw):
-    """MaxFactor1 + effective-lr reporting (optimizerc.py:797-926)."""
-    return maxfactor1(lr=lr, **kw)
+    """MaxFactor1 + effective-lr reporting (optimizerc.py:797-926):
+    same update rule as maxfactor1, with the last step's mean
+    trust-ratio alpha carried in a TrackedLRState for
+    ``get_last_lr(opt_state)``."""
+    init, upd = _factored_core(
+        lr, kw.get("b_decay", -0.8), kw.get("eps", (1e-8, 1e-3)),
+        kw.get("d", 1.0), kw.get("decay", 0.01), kw.get("gamma", 0.99),
+        kw.get("maximize", False), 0.0, kw.get("clip", False),
+        kw.get("cap", 0.0), beta_clamp=False, rho_floor=False,
+        guard_inf_norm=False,
+        scale_fn=lambda u, p, l: _scale_max(u), track_alpha=True)
+    return _with_tracked_lr(init, upd)
 
 
 class SimpleFAMState(NamedTuple):

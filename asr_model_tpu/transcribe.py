@@ -53,12 +53,27 @@ class Transcriber:
         cfg = cfg or Config()
         model = Model(param=cfg.model.dims, cfg=cfg.model)
         tok = setup_tokenizer(tokenizer_path)
-        # init a skeleton to get the treedef, then restore into it
+        # Init a skeleton to get the treedef, then restore into it.  The
+        # skeleton must create every parameter the checkpoint holds, so
+        # the dummy inputs follow cfg.data's modality flags (a
+        # spectrogram-only skeleton would be missing the mono conv stem
+        # and pitch-token embedding params of a default-config training
+        # run and flax from_bytes would fail on the structure mismatch).
         mels = cfg.model.dims.mels
         dummy = jnp.zeros((1, mels, 16), jnp.float32)
+        mono = jnp.zeros((1, 1, 16), jnp.float32)
+        init_kw = {"spectrogram": dummy}
+        if cfg.data.pitch:
+            init_kw["pitch"] = mono
+        if cfg.data.waveform:
+            init_kw["waveform"] = mono
+        if cfg.data.pitch_tokens:
+            init_kw["pitch_tokens"] = jnp.zeros((1, 3), jnp.float32)
         variables = jax.jit(lambda r: model.init(
             {"params": r}, jnp.ones((1, 2), jnp.int32),
-            spectrogram=dummy))(jax.random.key(0))
+            **init_kw))(jax.random.key(0))
+        kw.setdefault("use_pitch", cfg.data.pitch)
+        kw.setdefault("use_waveform", cfg.data.waveform)
         from asr_model_tpu.train.loop import make_optimizer
         tx, _ = make_optimizer(cfg, variables["params"])
         target = {"params": variables["params"],

@@ -51,6 +51,29 @@ def test_variant_steps_change_params_finitely(factory):
         assert not np.allclose(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.parametrize("factory,eps2", [
+    (lambda: maxfactor2(lr=0.01), 1e-3),
+    (lambda: maxheadroom(lr=0.01), 1e-3),
+])
+def test_effective_lr_reporting(factory, eps2):
+    """get_last_lr(opt_state) == mean over params of the trust-ratio
+    alpha = max(eps2, RMS(p)) * rho_t (optimizerc.py:467-493,
+    797-926)."""
+    from asr_model_tpu.optim.variants import TrackedLRState, get_last_lr
+
+    tx = factory()
+    state = tx.init(PARAMS)
+    assert isinstance(state, TrackedLRState)
+    assert get_last_lr(state) == 0.0          # no step yet
+    updates, state = tx.update(GRADS, state, params=PARAMS)
+
+    rho_t = min(0.01, 1.0)                    # step 1: min(lr, 1/sqrt(1))
+    alphas = [max(eps2, float(jnp.sqrt(jnp.mean(p * p)))) * rho_t
+              for p in jax.tree.leaves(PARAMS)]
+    want = sum(alphas) / len(alphas)
+    np.testing.assert_allclose(get_last_lr(state), want, rtol=1e-5)
+
+
 def test_maxfactor_a_roles():
     roles = depth_role_tree(PARAMS)
     vals = jax.tree.leaves(roles)

@@ -50,7 +50,9 @@ def test_encode_only_shapes(transcriber):
 
 
 def test_transcriber_from_checkpoint(tmp_path):
-    cfg = Config(model=ModelConfig(dims=DIMS))
+    from asr_model_tpu.config import DataConfig
+    cfg = Config(model=ModelConfig(dims=DIMS),
+                 data=DataConfig(pitch=False, waveform=False))
     model = Model(param=DIMS, cfg=cfg.model)
     mel = jnp.zeros((1, 8, 16), jnp.float32)
     variables = jax.jit(lambda r: model.init(
@@ -63,7 +65,32 @@ def test_transcriber_from_checkpoint(tmp_path):
                            "batch_stats": variables.get("batch_stats", {}),
                            "step": 7})
     t = Transcriber.from_checkpoint(path, ASSET, cfg=cfg,
-                                    use_pitch=False, use_waveform=False,
                                     bf16=False, max_new_tokens=3)
+    assert t.use_pitch is False and t.use_waveform is False
+    out = t(_tone(0.3))
+    assert isinstance(out, str)
+
+
+def test_transcriber_from_checkpoint_default_modalities(tmp_path):
+    """A checkpoint trained with the DEFAULT config (pitch + waveform
+    enabled, per cli.py) must restore: the skeleton init follows
+    cfg.data's modality flags so the mono conv stem params exist
+    (ADVICE r1, medium)."""
+    cfg = Config(model=ModelConfig(dims=DIMS))   # data: pitch+waveform on
+    model = Model(param=DIMS, cfg=cfg.model)
+    mel = jnp.zeros((1, 8, 16), jnp.float32)
+    mono = jnp.zeros((1, 1, 16), jnp.float32)
+    variables = jax.jit(lambda r: model.init(
+        {"params": r}, jnp.ones((1, 2), jnp.int32),
+        spectrogram=mel, pitch=mono, waveform=mono))(jax.random.key(0))
+    tx, _ = make_optimizer(cfg, variables["params"])
+    path = str(tmp_path / "ckpt.msgpack")
+    save_checkpoint(path, {"params": variables["params"],
+                           "opt_state": tx.init(variables["params"]),
+                           "batch_stats": variables.get("batch_stats", {}),
+                           "step": 1})
+    t = Transcriber.from_checkpoint(path, ASSET, cfg=cfg, bf16=False,
+                                    max_new_tokens=3)
+    assert t.use_pitch is True and t.use_waveform is True
     out = t(_tone(0.3))
     assert isinstance(out, str)
