@@ -2,8 +2,10 @@
 
 Parity role: load_wave/get_audio essentials.py:301-352 (soundfile read
 + peak normalization).  libsndfile is not in this image, so WAV decode
-is implemented directly (PCM 16/24/32-bit and float32); FLAC and other
-codecs route through soundfile when importable.  The reference's
+is implemented directly (PCM 16/24/32-bit and float32) and FLAC — the
+LibriSpeech corpus encoding — by the native C++ decoder
+(native/flac.cpp); other codecs route through soundfile when
+importable.  The reference's
 multichannel quirk — it divides by the per-channel MAX (not abs-max),
 essentials.py:306 — is reproduced in strict mode and fixed by default.
 """
@@ -52,6 +54,11 @@ def _read_any(path: str) -> Tuple[np.ndarray, int]:
             return read_wav(path)
         except (wave.Error, ValueError):
             pass
+    if path.lower().endswith(".flac"):
+        # LibriSpeech ships FLAC (librispeech_asr.py:104); decoded by the
+        # native C++ decoder (native/flac.cpp), no libsndfile needed.
+        from asr_model_tpu.native import read_flac
+        return read_flac(path)
     try:
         import soundfile as sf
         data, sr = sf.read(path, dtype="float32")

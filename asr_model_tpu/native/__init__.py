@@ -19,6 +19,7 @@ _DIR = os.path.dirname(__file__)
 _SOURCES = {
     "bpe": ("bpe.cpp", "libbpe.so"),
     "wer": ("wer.cpp", "libwer.so"),
+    "flac": ("flac.cpp", "libflac_native.so"),
 }
 _handles = {}
 
@@ -67,6 +68,16 @@ def load(name: str = "bpe", auto_build: bool = True
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int]
         lib.wer_levenshtein.restype = ctypes.c_int
+    if name == "flac":
+        lib.flac_info.argtypes = [
+            ctypes.c_char_p, ctypes.c_longlong,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_longlong)]
+        lib.flac_info.restype = ctypes.c_int
+        lib.flac_decode.argtypes = [
+            ctypes.c_char_p, ctypes.c_longlong,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_longlong]
+        lib.flac_decode.restype = ctypes.c_longlong
     if name == "bpe":
         lib.bpe_new.restype = ctypes.c_void_p
         lib.bpe_free.argtypes = [ctypes.c_void_p]
@@ -80,3 +91,41 @@ def load(name: str = "bpe", auto_build: bool = True
         lib.bpe_encode_word.restype = ctypes.c_int
     _handles[name] = lib
     return lib
+
+
+def read_flac(path: str):
+    """Decode a FLAC file with the native decoder.
+
+    Returns (data, sample_rate): data float32 in [-1, 1), shape
+    (samples,) mono or (channels, samples).  Raises RuntimeError when
+    the native decoder is unavailable or the stream is malformed."""
+    import numpy as np
+
+    lib = load("flac")
+    if lib is None:
+        raise RuntimeError("native FLAC decoder unavailable "
+                           "(g++ build failed)")
+    with open(path, "rb") as f:
+        raw = f.read()
+    sr = ctypes.c_int()
+    ch = ctypes.c_int()
+    bps = ctypes.c_int()
+    total = ctypes.c_longlong()
+    rc = lib.flac_info(raw, len(raw), ctypes.byref(sr), ctypes.byref(ch),
+                       ctypes.byref(bps), ctypes.byref(total))
+    if rc != 0:
+        raise RuntimeError(f"not a FLAC stream: {path}")
+    # total_samples may be 0 (unknown): over-allocate from the byte size
+    n = int(total.value) or (len(raw) * 8 // max(bps.value, 1) + 65536)
+    cap = n * ch.value
+    out = np.empty(cap, dtype=np.int32)
+    got = lib.flac_decode(raw, len(raw),
+                          out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                          cap)
+    if got < 0:
+        raise RuntimeError(f"FLAC decode failed ({got}) for {path}")
+    data = (out[: got * ch.value].astype(np.float32)
+            / float(1 << (bps.value - 1)))
+    if ch.value > 1:
+        data = data.reshape(-1, ch.value).T
+    return data, int(sr.value)

@@ -75,3 +75,107 @@ def test_native_wer_matches_python():
         with mock.patch.object(metrics, "_native_wer", lambda: None):
             py_d = metrics.levenshtein(ref, hyp)
         assert native_d == py_d, (ref, hyp, native_d, py_d)
+
+
+# ---------------------------------------------------------------- FLAC
+
+def _flac_tools():
+    import importlib.util
+    import os
+    path = os.path.join(os.path.dirname(__file__), "..", "tools",
+                        "flac_encoder.py")
+    spec = importlib.util.spec_from_file_location("flac_encoder", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _tone_pcm(n=16000, seed=0):
+    rng = np.random.RandomState(seed)
+    t = np.arange(n) / 16000.0
+    sig = 0.5 * np.sin(2 * np.pi * 220 * t) + 0.05 * rng.randn(n)
+    return np.clip(sig * 32767, -32768, 32767).astype(np.int16)
+
+
+@pytest.mark.parametrize("kw", [
+    dict(),                                  # per-block auto pick
+    dict(subframe="verbatim"),
+    dict(subframe="constant"),
+    dict(subframe="fixed0"),
+    dict(subframe="fixed1"),
+    dict(subframe="fixed2"),
+    dict(subframe="lpc2"),
+    dict(subframe="lpc8"),
+    dict(subframe="lpc12", partition_order=2),
+    dict(partition_order=3),
+    dict(force_escape=True),
+    dict(block_size=256),
+    dict(block_size=1000),                   # non-power-of-two blocks
+    dict(wasted_bits=3),
+])
+def test_flac_roundtrip_bit_exact(tmp_path, kw):
+    """Native C++ decoder reproduces the source PCM bit-exactly across
+    subframe types, Rice partitions, escapes, LPC and wasted bits (the
+    encoder is an independent implementation of RFC 9639; CRC-8/16 are
+    verified by the decoder, so bit-level disagreement fails loudly)."""
+    from asr_model_tpu import native
+    if native.build("flac") is None:
+        pytest.skip("g++ unavailable")
+    enc = _flac_tools()
+    pcm = _tone_pcm()
+    if kw.get("subframe") == "constant":
+        pcm = np.full(5000, -321, np.int16)
+    if kw.get("wasted_bits"):
+        pcm = pcm & ~((1 << kw["wasted_bits"]) - 1)
+    path = str(tmp_path / "t.flac")
+    enc.write_flac(path, pcm, 16000, **kw)
+    data, sr = native.read_flac(path)
+    assert sr == 16000
+    got = np.round(data * 32768).astype(np.int64)
+    np.testing.assert_array_equal(got, pcm.astype(np.int64))
+
+
+@pytest.mark.parametrize("mode", ["independent", "left_side",
+                                  "right_side", "mid_side"])
+def test_flac_stereo_decorrelation(tmp_path, mode):
+    from asr_model_tpu import native
+    if native.build("flac") is None:
+        pytest.skip("g++ unavailable")
+    enc = _flac_tools()
+    left = _tone_pcm(8000, seed=1)
+    right = (left // 2).astype(np.int16)
+    st = np.stack([left, right], 1)
+    path = str(tmp_path / "st.flac")
+    enc.write_flac(path, st, 16000, stereo_mode=mode)
+    data, sr = native.read_flac(path)
+    got = np.round(data * 32768).astype(np.int64)
+    assert got.shape == (2, 8000)
+    np.testing.assert_array_equal(got.T, st.astype(np.int64))
+
+
+def test_load_wave_flac_equals_wav_twin(tmp_path):
+    """audio_io.load_wave decodes a FLAC fixture bit-equal to its WAV
+    twin — the LibriSpeech L0->L1 path works without soundfile
+    (VERDICT r1 item 5; corpus is FLAC, librispeech_asr.py:104)."""
+    import wave as wave_mod
+
+    from asr_model_tpu import native
+    from asr_model_tpu.data.audio_io import load_wave
+    if native.build("flac") is None:
+        pytest.skip("g++ unavailable")
+    enc = _flac_tools()
+    pcm = _tone_pcm(12000, seed=2)
+
+    fpath = str(tmp_path / "utt.flac")
+    enc.write_flac(fpath, pcm, 16000)
+    wpath = str(tmp_path / "utt.wav")
+    with wave_mod.open(wpath, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(pcm.tobytes())
+
+    wf, sr_f = load_wave(fpath)
+    ww, sr_w = load_wave(wpath)
+    assert sr_f == sr_w == 16000
+    np.testing.assert_array_equal(wf, ww)
