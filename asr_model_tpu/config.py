@@ -53,6 +53,18 @@ class ModelConfig:
     # reference applies the causal mask only to the first self-attn call
     # per block iteration (model.py:618 vs 619-626).
     causal_all: bool = False
+    # Streaming-causal decoder: the reference's training graph leaks
+    # future tokens into position t through (a) MSheath's global time
+    # pooling and (b) the g-block's non-causal cross-attention over the
+    # text-derived e branch (model.py:624-626) — so free-running decode
+    # degenerates even after causal_all (docs/BENCH_NOTES.md ablation).
+    # streaming=True makes every text-side path prefix-causal: implies
+    # causal_all, switches MSheath to per-position causal running-mean
+    # working memory with position-0-derived jump policy, and masks the
+    # d‖e cross causally.  Position t's logits then depend only on
+    # tokens <= t, making teacher-forced training consistent with
+    # free-running greedy decode.
+    streaming: bool = False
     # AudioEncoder flags (model.py:646): norm=False, enc=False by default.
     encoder_norm: bool = False
     encoder_transformer: bool = False

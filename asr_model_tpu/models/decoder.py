@@ -103,9 +103,15 @@ class Residual(nn.Module):
     def __call__(self, x, xa=None, causal: bool = False, pt=None,
                  x_valid: Optional[jnp.ndarray] = None,
                  xa_valid: Optional[jnp.ndarray] = None,
-                 cached_kv=None):
+                 cached_kv=None, streaming: bool = False,
+                 cross_causal: bool = False, xa_streaming: bool = False):
+        """``streaming``: prefix-causal MSheath pooling on the x side.
+        ``cross_causal``: causal mask on the cross-attention (only valid
+        when x and xa are position-aligned, the d‖e case).
+        ``xa_streaming``: prefix-causal MSheath on the xa side (for
+        text-derived xa; audio xa is fully available and stays global)."""
         n_router = self.layer - 1
-        x, jmp = self.jump(self.ln(x), valid=x_valid)
+        x, jmp = self.jump(self.ln(x), valid=x_valid, streaming=streaming)
         x = (self.router(*[x] * n_router)
              + self.attn(self.ln(x), causal=causal, pt=pt,
                          kv_valid=x_valid))
@@ -115,9 +121,11 @@ class Residual(nn.Module):
         elif xa is not None:
             xa = xa + sinusoids(xa.shape[1], xa.shape[-1],
                                 self.theta).astype(xa.dtype)
-            xa, jmp = self.jump(self.ln(xa), valid=xa_valid)
+            xa, jmp = self.jump(self.ln(xa), valid=xa_valid,
+                                streaming=xa_streaming)
             x = x + self.attn(self.ln(x),
                               xa=self.router(*[xa] * n_router), pt=pt,
+                              causal=cross_causal,
                               kv_valid=xa_valid)
         return x + self._mlp(x)
 
@@ -133,6 +141,7 @@ class Processor(nn.Module):
     ctx: int = 2048
     chained: bool = False
     causal_all: bool = False
+    streaming: bool = False
     pitch_token_vocab: int = 1024
     pitch_token_bins: int = 256
 
@@ -145,8 +154,11 @@ class Processor(nn.Module):
         # learned position embedding initialized to ONES (model.py:594)
         self.position = self.param("position", nn.initializers.ones,
                                    (self.ctx, d))
+        # strong-typed scalar: a weak-typed init loses its weak type on
+        # the first optimizer update, forcing a full step recompile
         self.blend = self.param("blend",
-                                lambda k, s: jnp.asarray(0.5), ())
+                                lambda k, s: jnp.asarray(0.5, jnp.float32),
+                                ())
         self.block = [Residual(d, self.head, self.layer, self.act,
                                self.n_type, name=f"block{i}")
                       for i in range(self.layer)]
@@ -175,38 +187,43 @@ class Processor(nn.Module):
         xa_masks = xa_masks or {}
         # reference parity: only the `a` call is causal (model.py:618);
         # causal_all=True masks every decoder self-attention so
-        # free-running decode matches training (see BENCH_NOTES)
-        ca = self.causal_all
+        # free-running decode matches training (see BENCH_NOTES);
+        # streaming=True additionally makes MSheath pooling prefix-causal
+        # and masks the d‖e cross — the full causal-consistency mode.
+        st = self.streaming
+        ca = self.causal_all or st
         if xa_kv is not None:
-            a = blk(x, causal=True, pt=pt, x_valid=text_valid)
+            a = blk(x, causal=True, pt=pt, x_valid=text_valid, streaming=st)
             b = blk(a, causal=ca, cached_kv=xa_kv.get("a"),
-                    x_valid=text_valid,
+                    x_valid=text_valid, streaming=st,
                     xa_valid=xa_masks.get("a")) if "a" in xa_kv else a
             c = blk(b, causal=ca, cached_kv=xa_kv.get("b"),
-                    x_valid=text_valid,
+                    x_valid=text_valid, streaming=st,
                     xa_valid=xa_masks.get("b")) if "b" in xa_kv else b
             d = blk(c, causal=ca, cached_kv=xa_kv.get("c"),
-                    x_valid=text_valid,
+                    x_valid=text_valid, streaming=st,
                     xa_valid=xa_masks.get("c")) if "c" in xa_kv else c
             e = a + b + c
             f = jnp.concatenate([d, e], axis=1)
             g = blk(f[:, :T], causal=ca, xa=f[:, T:], x_valid=text_valid,
-                    xa_valid=text_valid)
+                    xa_valid=text_valid, streaming=st,
+                    cross_causal=st, xa_streaming=st)
             return d, g
-        a = blk(x, causal=True, pt=pt, x_valid=text_valid)
+        a = blk(x, causal=True, pt=pt, x_valid=text_valid, streaming=st)
         b = blk(a, causal=ca, xa=xa_enc.get("a"), pt=pt,
-                x_valid=text_valid,
+                x_valid=text_valid, streaming=st,
                 xa_valid=xa_masks.get("a")) if "a" in xa_enc else a
         c = blk(b, causal=ca, xa=xa_enc.get("b"), pt=pt,
-                x_valid=text_valid,
+                x_valid=text_valid, streaming=st,
                 xa_valid=xa_masks.get("b")) if "b" in xa_enc else b
         d = blk(c, causal=ca, xa=xa_enc.get("c"), pt=pt,
-                x_valid=text_valid,
+                x_valid=text_valid, streaming=st,
                 xa_valid=xa_masks.get("c")) if "c" in xa_enc else c
         e = a + b + c
         f = jnp.concatenate([d, e], axis=1)
         g = blk(f[:, :T], causal=ca, xa=f[:, T:], x_valid=text_valid,
-                xa_valid=text_valid)
+                xa_valid=text_valid, streaming=st,
+                cross_causal=st, xa_streaming=st)
         return d, g
 
     def __call__(self, ids: jnp.ndarray, xa: Dict[str, jnp.ndarray],

@@ -90,7 +90,14 @@ def _build_decode_fn(model: Model, max_new_tokens: int,
 
 def _decode_step(mdl: Model, ids, xa_kv, text_valid=None,
                  logits_position=None):
-    return mdl.processor(ids, {}, seq=True, text_valid=text_valid,
+    # Reference parity: generate reads the seq=True head (g only,
+    # model.py:692) while the training loss reads the blended
+    # sigmoid(blend)*d + (1-blend)*g head (model.py:628) — a
+    # train/decode mismatch that contributes to the reference's
+    # degenerate free-running decode.  The streaming variant decodes
+    # from the same blended head it trains (seq=False).
+    seq = not mdl.cfg.streaming
+    return mdl.processor(ids, {}, seq=seq, text_valid=text_valid,
                          logits_position=logits_position, xa_kv=xa_kv)
 
 

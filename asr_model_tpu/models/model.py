@@ -58,6 +58,7 @@ class Model(nn.Module):
             layer=p.layer, act=p.act, n_type=p.n_type, ctx=self.cfg.ctx,
             chained=self.cfg.chained_blocks,
             causal_all=self.cfg.causal_all,
+            streaming=self.cfg.streaming,
             pitch_token_vocab=self.cfg.pitch_token_vocab,
             pitch_token_bins=self.cfg.pitch_token_bins)
         self.enc = AudioEncoder(
@@ -91,8 +92,9 @@ class Model(nn.Module):
                     text_valid: Optional[jnp.ndarray] = None):
         """One decode evaluation over a (fixed-size) prefix buffer with
         pre-encoded audio; returns (B, T, vocab) logits (seq=True path,
-        model.py:692)."""
-        return self.processor(ids, xa_enc, seq=True,
+        model.py:692; the streaming variant decodes from the blended
+        training head instead — see generate._decode_step)."""
+        return self.processor(ids, xa_enc, seq=not self.cfg.streaming,
                               text_valid=text_valid, xa_preencoded=False)
 
     def count_modules(self) -> Dict[str, int]:

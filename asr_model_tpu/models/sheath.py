@@ -68,6 +68,21 @@ def _masked_mean(x, valid, axis):
     return s / n
 
 
+def _causal_mean(x, valid):
+    """Per-position running mean over positions <= t along axis 1:
+    out[:, t] = mean(x[:, :t+1]).  The cumulative sums run in f32 so
+    bf16 inference stays accurate at ctx=2048."""
+    f32 = x.astype(jnp.float32)
+    if valid is None:
+        s = jnp.cumsum(f32, axis=1)
+        n = jnp.arange(1, x.shape[1] + 1, dtype=jnp.float32)[None, :, None]
+    else:
+        m = valid.astype(jnp.float32)[..., None]
+        s = jnp.cumsum(f32 * m, axis=1)
+        n = jnp.maximum(jnp.cumsum(m, axis=1), 1.0)
+    return (s / n).astype(x.dtype)
+
+
 class MSheath(nn.Module):
     dims: int
     head: int
@@ -164,14 +179,26 @@ class MSheath(nn.Module):
         wts = jax.nn.softmax(x @ self.rnet_w[idx] + self.rnet_b[idx], -1)
         return nn.relu(jnp.einsum("bcef,bce->bcf", feats, wts))
 
-    def __call__(self, x: jnp.ndarray, valid: Optional[jnp.ndarray] = None
-                 ) -> Tuple[jnp.ndarray, dict]:
+    def __call__(self, x: jnp.ndarray, valid: Optional[jnp.ndarray] = None,
+                 streaming: bool = False) -> Tuple[jnp.ndarray, dict]:
+        """``streaming=True`` makes every output position a function of
+        input positions <= t only: the working memory becomes a
+        per-position causal running mean (B, T, d) instead of a global
+        pooled (B, 1, d), and the scalar control signals (jump-policy
+        input, forced-skip potential) are computed from position 0's
+        state — the only position whose representation is invariant to
+        the prefix length, so jump actions are identical at every
+        decode step and between training and free-running decode."""
         L = self.layer
         b, ctx, d = x.shape
         orig_x = x
-        mem_w0 = jnp.broadcast_to(self.mem_w, (b, 1, d))
+        mem_t = ctx if streaming else 1
+        mem_w0 = jnp.broadcast_to(self.mem_w, (b, mem_t, d))
 
-        pooled = _masked_mean(x, valid, axis=1)[:, 0]        # (b, d)
+        if streaming:
+            pooled = x[:, 0]                                 # (b, d), causal
+        else:
+            pooled = _masked_mean(x, valid, axis=1)[:, 0]    # (b, d)
         policy = self.pnet(pooled)                           # (b, 3)
         policy_mean = jnp.mean(policy, axis=0)               # (3,) == policy[0] at B=1
 
@@ -194,11 +221,16 @@ class MSheath(nn.Module):
             g_val = nn.sigmoid(px @ self.gate_w[idx] + self.gate_b[idx])
             x_new = x + g_val * (out * ion)
 
-            mem = _masked_mean(x_new, valid, axis=1)         # (b, 1, d)
+            if streaming:
+                mem = _causal_mean(x_new, valid)             # (b, ctx, d)
+            else:
+                mem = _masked_mean(x_new, valid, axis=1)     # (b, 1, d)
             mem_v = nn.sigmoid(mem @ self.memgate_w + self.memgate_b)
             mem_w_new = mem_v * mem_w + (1 - mem_v) * mem
 
-            if valid is None:
+            if streaming:
+                potential = jnp.mean(ion[:, 0])              # position 0 only
+            elif valid is None:
                 potential = jnp.mean(ion)
             else:
                 potential = _masked_mean(ion, valid, axis=(0, 1, 2))[0, 0, 0]

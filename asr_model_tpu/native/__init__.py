@@ -20,6 +20,7 @@ _SOURCES = {
     "bpe": ("bpe.cpp", "libbpe.so"),
     "wer": ("wer.cpp", "libwer.so"),
     "flac": ("flac.cpp", "libflac_native.so"),
+    "world": ("world.cpp", "libworld_native.so"),
 }
 _handles = {}
 
@@ -78,6 +79,19 @@ def load(name: str = "bpe", auto_build: bool = True
             ctypes.c_char_p, ctypes.c_longlong,
             ctypes.POINTER(ctypes.c_int32), ctypes.c_longlong]
         lib.flac_decode.restype = ctypes.c_longlong
+    if name == "world":
+        lib.world_dio.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.c_longlong,
+            ctypes.c_int, ctypes.c_double, ctypes.c_double,
+            ctypes.c_double, ctypes.c_double, ctypes.c_double,
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double)]
+        lib.world_dio.restype = ctypes.c_longlong
+        lib.world_stonemask.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.c_longlong,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double), ctypes.c_longlong,
+            ctypes.POINTER(ctypes.c_double)]
+        lib.world_stonemask.restype = ctypes.c_int
     if name == "bpe":
         lib.bpe_new.restype = ctypes.c_void_p
         lib.bpe_free.argtypes = [ctypes.c_void_p]
@@ -129,3 +143,55 @@ def read_flac(path: str):
     if ch.value > 1:
         data = data.reshape(-1, ch.value).T
     return data, int(sr.value)
+
+
+def world_dio(x, fs: int, frame_period: float = 10.0,
+              f0_floor: float = 71.0, f0_ceil: float = 800.0,
+              channels_in_octave: float = 2.0,
+              allowed_range: float = 0.1):
+    """Native DIO F0 estimation (pyworld.dio-shaped).
+
+    Returns (f0, t) float64 arrays of length 1 + floor(1000*n/fs/fp).
+    Raises RuntimeError when the native library is unavailable."""
+    import numpy as np
+
+    lib = load("world")
+    if lib is None:
+        raise RuntimeError("native WORLD library unavailable "
+                           "(g++ build failed)")
+    x = np.ascontiguousarray(np.asarray(x, dtype=np.float64).reshape(-1))
+    n = x.shape[0]
+    nf = int(1000.0 * n / fs / frame_period) + 1
+    f0 = np.empty(nf, dtype=np.float64)
+    t = np.empty(nf, dtype=np.float64)
+    got = lib.world_dio(
+        x.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), n, fs,
+        frame_period, f0_floor, f0_ceil, channels_in_octave,
+        allowed_range,
+        f0.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        t.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+    if got < 0:
+        raise RuntimeError("world_dio failed")
+    return f0[:got], t[:got]
+
+
+def world_stonemask(x, f0, t, fs: int):
+    """Native StoneMask refinement (pyworld.stonemask-shaped)."""
+    import numpy as np
+
+    lib = load("world")
+    if lib is None:
+        raise RuntimeError("native WORLD library unavailable "
+                           "(g++ build failed)")
+    x = np.ascontiguousarray(np.asarray(x, dtype=np.float64).reshape(-1))
+    f0 = np.ascontiguousarray(np.asarray(f0, dtype=np.float64))
+    t = np.ascontiguousarray(np.asarray(t, dtype=np.float64))
+    out = np.empty_like(f0)
+    rc = lib.world_stonemask(
+        x.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), x.shape[0], fs,
+        f0.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        t.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), f0.shape[0],
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+    if rc != 0:
+        raise RuntimeError("world_stonemask failed")
+    return out

@@ -184,8 +184,8 @@ def test_processor_is_not_causal_beyond_attention():
     working-memory pooling (model.py:463-465) and the d||e concatenation
     cross-attention (model.py:625-626) are non-causal by construction.
     This is why the reference's default eval metric is teacher-forced
-    WER (SURVEY §3.4) and why decode recomputes the whole prefix.  A
-    fully prefix-causal 'streaming' variant is future work."""
+    WER (SURVEY §3.4) and why decode recomputes the whole prefix.  The
+    prefix-causal variant is ModelConfig(streaming=True), tested below."""
     dims = Dimensions(tokens=30, mels=4, dims=16, head=2, layer=2)
     rng = np.random.RandomState(0)
     spec = jnp.asarray(rng.randn(1, 4, 10), jnp.float32)
@@ -201,3 +201,50 @@ def test_processor_is_not_causal_beyond_attention():
         assert not np.allclose(np.asarray(l1)[:, :2],
                                np.asarray(l2)[:, :2], atol=1e-5), \
             f"unexpectedly causal (causal_all={causal_all})"
+
+
+def test_streaming_processor_is_prefix_causal():
+    """streaming=True removes every future-token leak: position t's
+    logits are a function of tokens <= t only (prefix-causal MSheath
+    running means, position-0 jump policy, causal d||e cross)."""
+    dims = Dimensions(tokens=30, mels=4, dims=16, head=2, layer=2)
+    rng = np.random.RandomState(0)
+    spec = jnp.asarray(rng.randn(1, 4, 10), jnp.float32)
+    ids1 = jnp.asarray([[1, 5, 6, 7]])
+    ids2 = jnp.asarray([[1, 5, 9, 9]])          # differs only at t>=2
+    model = Model(param=dims, cfg=ModelConfig(dims=dims, streaming=True))
+    variables = jax.jit(lambda r: model.init(
+        {"params": r}, ids1, spectrogram=spec))(jax.random.key(0))
+    l1 = model.apply(variables, ids1, spectrogram=spec)["logits"]
+    l2 = model.apply(variables, ids2, spectrogram=spec)["logits"]
+    np.testing.assert_allclose(np.asarray(l1)[:, :2],
+                               np.asarray(l2)[:, :2], atol=1e-5, rtol=1e-4)
+    # still sequence-dependent beyond the shared prefix
+    assert not np.allclose(np.asarray(l1)[:, 2:], np.asarray(l2)[:, 2:],
+                           atol=1e-5)
+
+
+def test_streaming_prefix_masking_matches_unpadded():
+    """The fixed-buffer masked-prefix decode invariant must hold in
+    streaming mode too (greedy decode reuses the same buffer path)."""
+    dims = Dimensions(tokens=30, mels=4, dims=16, head=2, layer=2)
+    rng = np.random.RandomState(0)
+    spec = jnp.asarray(rng.randn(2, 4, 10), jnp.float32)
+    ids = jnp.asarray(rng.randint(3, 30, (2, 6)))
+    model = Model(param=dims, cfg=ModelConfig(dims=dims, streaming=True))
+    variables = jax.jit(lambda r: model.init(
+        {"params": r}, ids, spectrogram=spec))(jax.random.key(0))
+    xa = modality_slots(spectrogram=spec)
+    xa_enc = model.apply(variables, xa, method=Model.encode)
+
+    def run(mdl, ids, valid):
+        return mdl.processor(ids, xa_enc, seq=True, text_valid=valid,
+                             xa_preencoded=False)
+
+    out_short = model.apply(variables, ids[:, :3], None, method=run)
+    padded = jnp.pad(ids[:, :3], ((0, 0), (0, 3)))
+    valid = jnp.asarray([[1, 1, 1, 0, 0, 0]] * 2, bool)
+    out_masked = model.apply(variables, padded, valid, method=run)
+    np.testing.assert_allclose(np.asarray(out_short),
+                               np.asarray(out_masked)[:, :3], atol=2e-4,
+                               rtol=1e-3)

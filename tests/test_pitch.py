@@ -54,3 +54,99 @@ def test_pitch_track_shape_matches_mel_frames():
     x = _tone(150.0, dur=1.0)
     p = pitch_track(x, sr, hop)
     assert p.shape == (1, 1 + len(x) // hop)
+
+
+# --- native WORLD (DIO/StoneMask) algorithm-level tests (VERDICT r1 #6).
+# pyworld goldens cannot be generated in this image (no pyworld, no
+# egress), so correctness is established at the algorithm level:
+# known-F0 synthetics, octave-error traps, sweep tracking, voicing.
+
+def _native_world():
+    from asr_model_tpu import native
+    return native if native.load("world") is not None else None
+
+
+def test_native_world_builds():
+    assert _native_world() is not None, \
+        "native WORLD library must build in this image (g++ is baked in)"
+
+
+def test_dio_weak_fundamental_no_octave_error():
+    """A harmonic-rich signal whose fundamental is 8x weaker than its
+    2nd harmonic must still track F0, not 2*F0 (the classic trap that
+    separates period detectors from peak pickers)."""
+    sr = 16000
+    t = np.arange(sr) / sr
+    x = (0.1 * np.sin(2 * np.pi * 150 * t)
+         + 0.8 * np.sin(2 * np.pi * 300 * t)
+         + 0.5 * np.sin(2 * np.pi * 450 * t)
+         + 0.4 * np.sin(2 * np.pi * 600 * t))
+    f0, tt = dio(x, sr, 10.0)
+    f0 = stonemask(x, f0, tt, sr)
+    v = f0[f0 > 0]
+    assert len(v) > 0.8 * len(f0)
+    assert abs(np.median(v) - 150.0) < 3.0, np.median(v)
+
+
+def test_dio_tracks_chirp():
+    """Linear 150->250 Hz sweep: voiced-frame MAE < 2 Hz against the
+    instantaneous frequency at each frame time."""
+    sr = 16000
+    t = np.arange(sr) / sr
+    x = np.sin(2 * np.pi * (150 * t + 50 * t ** 2))
+    f0, tt = dio(x, sr, 10.0)
+    f0 = stonemask(x, f0, tt, sr)
+    expected = 150 + 100 * tt
+    v = f0 > 0
+    assert v.mean() > 0.9
+    # exclude the outermost frames (half-window hangs off the signal)
+    inner = v.copy()
+    inner[:3] = inner[-3:] = False
+    assert np.abs(f0[inner] - expected[inner]).mean() < 2.0
+
+
+def test_dio_voicing_boundaries():
+    """Tone embedded in silence: the silent head/tail must be unvoiced,
+    the tone region voiced."""
+    sr = 16000
+    pad = np.zeros(sr // 2)
+    tone = np.sin(2 * np.pi * 220 * np.arange(sr) / sr)
+    x = np.concatenate([pad, tone, pad])
+    f0, _ = dio(x, sr, 10.0)
+    n = len(f0)
+    head, mid, tail = f0[: n // 5], f0[2 * n // 5: 3 * n // 5], f0[-n // 5:]
+    assert (head > 0).mean() < 0.1
+    assert (mid > 0).mean() > 0.9
+    assert (tail > 0).mean() < 0.1
+
+
+def test_dio_agrees_with_yin():
+    """The two independent estimators (native DIO vs on-device YIN)
+    must agree on voiced frames of a harmonic tone: F0 MAE < 3 Hz,
+    voicing agreement > 0.9 (cross-validation of both paths)."""
+    from asr_model_tpu.ops.pitch import yin_f0
+
+    x = _tone(180.0, dur=1.0)
+    d_f0, tt = dio(x, 16000, 10.0)
+    d_f0 = stonemask(x, d_f0, tt, 16000)
+    y_f0, _ = yin_f0(np.asarray(x), fs=16000, frame_period=10.0)
+    y_f0 = np.asarray(y_f0)
+    n = min(len(d_f0), len(y_f0))
+    d, y = d_f0[:n], y_f0[:n]
+    both = (d > 0) & (y > 0)
+    agree = ((d > 0) == (y > 0)).mean()
+    assert agree > 0.9, agree
+    assert np.abs(d[both] - y[both]).mean() < 3.0
+
+
+def test_stonemask_mae_under_1hz_on_tone():
+    """Refined tone estimates within 1 Hz MAE of truth (VERDICT r1 #6
+    quantified-agreement criterion, applied to ground truth)."""
+    for true in (120.0, 250.0, 330.0):
+        sr = 16000
+        x = np.sin(2 * np.pi * true * np.arange(sr) / sr)
+        f0, tt = dio(x, sr, 10.0)
+        ref = stonemask(x, f0, tt, sr)
+        v = ref > 0
+        assert v.mean() > 0.9
+        assert np.abs(ref[v] - true).mean() < 1.0

@@ -27,6 +27,11 @@ def main():
     ap.add_argument("--causal-all", action="store_true",
                     help="decode-consistent variant: every decoder "
                          "self-attention causal (non-parity)")
+    ap.add_argument("--streaming", action="store_true",
+                    help="fully prefix-causal variant (implies causal "
+                         "self-attention, causal MSheath pooling, causal "
+                         "d||e cross): teacher-forced training matches "
+                         "free-running decode (non-parity)")
     args = ap.parse_args()
 
     import jax
@@ -62,7 +67,8 @@ def main():
     dims = Dimensions(tokens=40000, mels=32, dims=args.dims, head=4,
                       layer=2)
     cfg = Config(model=ModelConfig(dims=dims,
-                                   causal_all=args.causal_all),
+                                   causal_all=args.causal_all,
+                                   streaming=args.streaming),
                  optim=OptimConfig(lr=2.5e-3, warmup_steps=20,
                                    total_steps=args.steps * 10))
     model = Model(param=dims, cfg=cfg.model)
