@@ -9,10 +9,10 @@ boolean flags to produce up to 8 feature tensors per utterance:
 * ``waveform``: frame-rate-downsampled waveform (ops/audio.py);
 * ``pitch_tokens``: token-aligned pooled + z-normalized pitch
   (essentials.py:378-414);
-* ``harmonics``/``aperiodics``: spectral envelope / aperiodicity —
-  WORLD's CheapTrick/D4C are C++-only and unavailable here; implemented
-  as an STFT-envelope approximation with the same shapes/flags
-  (latent in the reference: harmonics=False default);
+* ``harmonics``/``aperiodics``: spectral envelope / aperiodicity via
+  the native WORLD CheapTrick/D4C implementations (native/world.cpp,
+  from the published algorithms; latent in the reference:
+  harmonics=False default);
 * ``phase``: F0-integrated phase track (essentials.py:457-467);
 * ``hilbert``: accepted and unused — exactly like the reference, whose
   ``hilbert`` flag has no code path (essentials.py:424 signature only).
@@ -92,9 +92,24 @@ def harmonics_and_aperiodics(audio: np.ndarray, sample_rate: int,
                              hop_length: int, n_bins: int = 128):
     """Spectral envelope + aperiodicity, (n_bins, T) each.
 
-    WORLD's CheapTrick/D4C equivalents are approximated with a smoothed
-    STFT magnitude envelope and a harmonicity-based aperiodicity map
-    (latent path; harmonics=False in the reference's default config)."""
+    Parity target essentials.py:360-373: pyworld dio -> stonemask ->
+    cheaptrick/d4c at fft_size=256, first 128 bins transposed.  Routed
+    to the native WORLD implementations (native/world.cpp: CheapTrick
+    envelope + D4C band aperiodicity from the published algorithms);
+    falls back to the earlier STFT-envelope approximation only when
+    the native library cannot build."""
+    try:
+        from asr_model_tpu.native import world_cheaptrick, world_d4c
+
+        frame_period = hop_length / sample_rate * 1000.0
+        f0, t = dio(audio, sample_rate, frame_period)
+        f0 = stonemask(audio, f0, t, sample_rate)
+        sp = world_cheaptrick(audio, f0, t, sample_rate, fft_size=256)
+        ap = world_d4c(audio, f0, t, sample_rate, fft_size=256)
+        return (sp[:, :n_bins].T.astype(np.float32),
+                ap[:, :n_bins].T.astype(np.float32))
+    except RuntimeError:                     # pragma: no cover
+        pass
     spec = np.asarray(power_spectrogram(jnp.asarray(audio), n_fft=256,
                                         hop_length=hop_length))
     mag = np.sqrt(np.maximum(spec, 1e-12))          # (129, T)

@@ -92,6 +92,15 @@ def load(name: str = "bpe", auto_build: bool = True
             ctypes.POINTER(ctypes.c_double), ctypes.c_longlong,
             ctypes.POINTER(ctypes.c_double)]
         lib.world_stonemask.restype = ctypes.c_int
+        for fname in ("world_cheaptrick", "world_d4c"):
+            fn = getattr(lib, fname)
+            fn.argtypes = [
+                ctypes.POINTER(ctypes.c_double), ctypes.c_longlong,
+                ctypes.c_int, ctypes.POINTER(ctypes.c_double),
+                ctypes.POINTER(ctypes.c_double), ctypes.c_longlong,
+                ctypes.c_int, ctypes.c_double,
+                ctypes.POINTER(ctypes.c_double)]
+            fn.restype = ctypes.c_int
     if name == "bpe":
         lib.bpe_new.restype = ctypes.c_void_p
         lib.bpe_free.argtypes = [ctypes.c_void_p]
@@ -173,6 +182,46 @@ def world_dio(x, fs: int, frame_period: float = 10.0,
     if got < 0:
         raise RuntimeError("world_dio failed")
     return f0[:got], t[:got]
+
+
+def _world_spectral(fname: str, x, f0, t, fs: int, fft_size: int,
+                    knob: float):
+    import numpy as np
+
+    lib = load("world")
+    if lib is None:
+        raise RuntimeError("native WORLD library unavailable "
+                           "(g++ build failed)")
+    x = np.ascontiguousarray(np.asarray(x, dtype=np.float64).reshape(-1))
+    f0 = np.ascontiguousarray(np.asarray(f0, dtype=np.float64))
+    t = np.ascontiguousarray(np.asarray(t, dtype=np.float64))
+    out = np.empty((f0.shape[0], fft_size // 2 + 1), dtype=np.float64)
+    rc = getattr(lib, fname)(
+        x.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), x.shape[0], fs,
+        f0.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        t.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), f0.shape[0],
+        fft_size, knob,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+    if rc != 0:
+        raise RuntimeError(f"{fname} failed")
+    return out
+
+
+def world_cheaptrick(x, f0, t, fs: int, fft_size: int = 256,
+                     q1: float = -0.15):
+    """Native CheapTrick spectral envelope (pyworld.cheaptrick-shaped).
+
+    Returns (n_frames, fft_size//2 + 1) float64 power envelope."""
+    return _world_spectral("world_cheaptrick", x, f0, t, fs, fft_size, q1)
+
+
+def world_d4c(x, f0, t, fs: int, fft_size: int = 256,
+              threshold: float = 0.85):
+    """Native D4C band aperiodicity (pyworld.d4c-shaped).
+
+    Returns (n_frames, fft_size//2 + 1) float64 aperiodicity in
+    [0, 1]."""
+    return _world_spectral("world_d4c", x, f0, t, fs, fft_size, threshold)
 
 
 def world_stonemask(x, f0, t, fs: int):

@@ -1,13 +1,20 @@
-// WORLD-style F0 estimation: DIO + StoneMask, implemented from the
-// published algorithms (Morise, "DIO: a fast and accurate fundamental
-// frequency estimator", and the WORLD vocoder papers).
+// WORLD-style speech analysis: DIO + StoneMask (F0), CheapTrick
+// (spectral envelope) and D4C (band aperiodicity), implemented from
+// the published algorithms (Morise: "DIO: a fast and accurate
+// fundamental frequency estimator"; "CheapTrick, a spectral envelope
+// estimator for high-quality speech synthesis", Speech Communication
+// 2015; "D4C, a band-aperiodicity estimator for high-quality speech
+// synthesis", Speech Communication 2016).
 //
 // Parity role: the reference's live pitch feature is pyworld's
-// dio + stonemask at 10 ms frames (essentials.py:451-455).  pyworld is
-// absent from this image, so this is a from-scratch C++ implementation
-// of the same algorithms behind the same API; it is validated with
+// dio + stonemask at 10 ms frames (essentials.py:451-455), and its
+// latent harmonic/aperiodic features are pyworld's cheaptrick + d4c
+// at fft_size=256 (essentials.py:360-373).  pyworld is absent from
+// this image, so this is a from-scratch C++ implementation of the
+// same algorithms behind the same API; it is validated with
 // algorithm-level tests (known-F0 tones, chirps, harmonic-rich signals
-// with weak fundamentals, voicing on silence/noise) rather than
+// with weak fundamentals, voicing on silence/noise, envelope/
+// aperiodicity separation of harmonic vs noise signals) rather than
 // bit-parity goldens, since no pyworld output can be generated here.
 //
 // Algorithm (DIO):
@@ -29,6 +36,7 @@
 // harmonics, measured from a Blackman-windowed DFT around the frame
 // (two refinement passes).
 
+#include <algorithm>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
@@ -368,6 +376,253 @@ double refine_once(const double* x, long long n, int fs, double tpos,
   return num / den;
 }
 
+// ===================================================== CheapTrick / D4C
+// Shared spectral helpers.  Frequency arrays are one-sided power (or
+// group-delay) spectra of length fft_n/2 + 1 over [0, fs/2].
+
+// Mirror the sub-F0 part of the spectrum back onto itself ("DC
+// correction", CheapTrick §2.2): for bins with f < f0 add the value
+// interpolated at (f0 - f), so the envelope below the fundamental is
+// dominated by the mirrored first harmonic instead of window leakage.
+void dc_correction(std::vector<double>& p, double f0, int fs, size_t fft_n) {
+  const double df = (double)fs / (double)fft_n;
+  const size_t half = fft_n / 2;
+  const size_t upper = std::min((size_t)(f0 / df) + 1, half);
+  std::vector<double> replica(upper);
+  for (size_t i = 0; i < upper; ++i) {
+    double q = (f0 - (double)i * df) / df;       // in bins
+    size_t lo = (size_t)q;
+    double w = q - (double)lo;
+    size_t hi = std::min(lo + 1, half);
+    replica[i] = p[lo] * (1.0 - w) + p[hi] * w;
+  }
+  for (size_t i = 0; i < upper; ++i) p[i] += replica[i];
+}
+
+// Rectangular smoothing of width `width` Hz applied to the piecewise-
+// linear spectrum (CheapTrick §2.2 / D4C §2.2): smoothed(f) =
+// (1/w) * Int_{f-w/2}^{f+w/2} P, with P mirrored at 0 and fs/2.
+// Exact for the piecewise-linear interpolant via the cumulative
+// trapezoid integral F (F(-f) = -F(f); beyond fs/2 by reflection).
+void linear_smoothing(std::vector<double>& p, double width, int fs,
+                      size_t fft_n) {
+  const double df = (double)fs / (double)fft_n;
+  const size_t half = fft_n / 2;
+  const double fmax = (double)half * df;
+  std::vector<double> F(half + 1, 0.0);
+  for (size_t i = 1; i <= half; ++i)
+    F[i] = F[i - 1] + 0.5 * (p[i - 1] + p[i]) * df;
+
+  auto Fat = [&](double f) -> double {   // F on [0, fmax]
+    if (f <= 0.0) return 0.0;
+    if (f >= fmax) return F[half];
+    double q = f / df;
+    size_t lo = (size_t)q;
+    double w = q - (double)lo;
+    // integral over the partial segment [lo*df, f] of the linear piece
+    double pa = p[lo], pb = p[lo + 1];
+    double seg = (pa + 0.5 * w * (pb - pa)) * (w * df);
+    return F[lo] + seg;
+  };
+  auto Fext = [&](double f) -> double {  // signed, mirrored extension
+    if (f < 0.0) return -Fat(-f);
+    if (f > fmax) return 2.0 * F[half] - Fat(2.0 * fmax - f);
+    return Fat(f);
+  };
+
+  std::vector<double> out(half + 1);
+  const double hw = width * 0.5;
+  for (size_t i = 0; i <= half; ++i) {
+    double f = (double)i * df;
+    out[i] = (Fext(f + hw) - Fext(f - hw)) / width;
+  }
+  p = out;
+}
+
+// F0-adaptive windowed segment around tpos (seconds): `periods`
+// fundamental periods long, Hann (type 0) or Blackman (type 1)
+// window, out-of-range samples index-clamped, window-weighted mean
+// removed (the papers' DC bias removal).
+void windowed_segment(const double* x, long long n, int fs, double f0,
+                      double tpos, double periods, int type,
+                      std::vector<double>* seg, std::vector<double>* win) {
+  const int half = (int)std::lround(0.5 * periods * fs / f0);
+  const int wlen = 2 * half + 1;
+  seg->assign((size_t)wlen, 0.0);
+  win->assign((size_t)wlen, 0.0);
+  const long long center = (long long)std::lround(tpos * fs);
+  double wsum = 0.0, ssum = 0.0;
+  for (int i = 0; i < wlen; ++i) {
+    double t = (double)(i - half) * f0 / (0.5 * periods * fs);  // [-1, 1]
+    double w = type == 0
+        ? 0.5 + 0.5 * std::cos(kPi * t)
+        : 0.42 + 0.5 * std::cos(kPi * t) + 0.08 * std::cos(2.0 * kPi * t);
+    long long k = center - half + i;
+    k = k < 0 ? 0 : (k >= n ? n - 1 : k);
+    (*win)[(size_t)i] = w;
+    (*seg)[(size_t)i] = x[k] * w;
+    wsum += w;
+    ssum += (*seg)[(size_t)i];
+  }
+  const double bias = wsum > 0.0 ? ssum / wsum : 0.0;
+  for (int i = 0; i < wlen; ++i) (*seg)[(size_t)i] -= bias * (*win)[(size_t)i];
+}
+
+// One-sided power spectrum of a segment zero-padded to fft_n.
+void power_spectrum_of(const std::vector<double>& seg, size_t fft_n,
+                       std::vector<double>* p) {
+  std::vector<double> re(fft_n, 0.0), im(fft_n, 0.0);
+  for (size_t i = 0; i < seg.size() && i < fft_n; ++i) re[i] = seg[i];
+  fft(re, im, false);
+  p->assign(fft_n / 2 + 1, 0.0);
+  for (size_t k = 0; k <= fft_n / 2; ++k)
+    (*p)[k] = re[k] * re[k] + im[k] * im[k];
+}
+
+// ------------------------------------------------------ CheapTrick core
+// Spectral envelope of one frame (CheapTrick §2): F0-adaptive Hann
+// window of 3 periods -> power spectrum -> sub-F0 mirroring ->
+// rectangular smoothing of width (2/3)F0 -> cepstral liftering with
+// the sinc smoothing lifter and the (1-2q1)+2q1*cos compensation
+// lifter (q1 = -0.15), recovered through exp.
+void cheaptrick_frame(const double* x, long long n, int fs, double f0,
+                      double tpos, size_t fft_n, double q1, double* out) {
+  std::vector<double> seg, win, p;
+  windowed_segment(x, n, fs, f0, tpos, 3.0, 0, &seg, &win);
+  power_spectrum_of(seg, fft_n, &p);
+  dc_correction(p, f0, fs, fft_n);
+  linear_smoothing(p, f0 * 2.0 / 3.0, fs, fft_n);
+  const double eps = 1e-12;
+
+  // liftering in the quefrency domain on the log spectrum
+  std::vector<double> re(fft_n), im(fft_n, 0.0);
+  const size_t half = fft_n / 2;
+  for (size_t k = 0; k <= half; ++k) re[k] = std::log(p[k] + eps);
+  for (size_t k = half + 1; k < fft_n; ++k) re[k] = re[fft_n - k];
+  fft(re, im, true);                       // cepstrum (inverse FFT)
+  for (size_t i = 1; i <= half; ++i) {
+    double q = (double)i / (double)fs;     // quefrency in seconds
+    double sl = std::sin(kPi * f0 * q) / (kPi * f0 * q);
+    double cl = (1.0 - 2.0 * q1) + 2.0 * q1 * std::cos(2.0 * kPi * q * f0);
+    double l = sl * cl;
+    re[i] *= l;
+    re[fft_n - i] *= l;
+    im[i] = im[fft_n - i] = 0.0;
+  }
+  im[0] = 0.0;
+  fft(re, im, false);
+  for (size_t k = 0; k <= half; ++k) out[k] = std::exp(re[k]);
+}
+
+// ------------------------------------------------------------- D4C core
+// Frame "LoveTrain" voicing measure (D4C §2.3): fraction of the
+// 100 Hz..4 kHz band power within the 100 Hz..7.9 kHz band of a
+// 3-period Blackman-windowed power spectrum — high when the energy
+// is harmonic-concentrated (voiced), low for noise-dominated frames.
+double d4c_love_train(const double* x, long long n, int fs, double f0,
+                      double tpos, size_t fft_n) {
+  std::vector<double> seg, win, p;
+  windowed_segment(x, n, fs, f0, tpos, 3.0, 1, &seg, &win);
+  power_spectrum_of(seg, fft_n, &p);
+  const double df = (double)fs / (double)fft_n;
+  const size_t half = fft_n / 2;
+  const size_t b0 = std::min((size_t)std::ceil(100.0 / df), half);
+  const size_t b1 = std::min((size_t)std::ceil(4000.0 / df), half);
+  const size_t b2 = std::min((size_t)std::ceil(7900.0 / df), half);
+  double low = 0.0, all = 0.0;
+  for (size_t k = b0; k <= b2; ++k) {
+    all += p[k];
+    if (k <= b1) low += p[k];
+  }
+  return all > 0.0 ? low / all : 0.0;
+}
+
+// Spectral centroid numerator Re{conj(X) . FFT{t*x}} of a 4-period
+// Blackman-windowed, power-normalized segment (D4C §2.2 GetCentroid).
+void d4c_centroid(const double* x, long long n, int fs, double f0,
+                  double tpos, size_t fft_n, std::vector<double>* out) {
+  std::vector<double> seg, win;
+  windowed_segment(x, n, fs, f0, tpos, 4.0, 1, &seg, &win);
+  double power = 0.0;
+  for (double v : seg) power += v * v;
+  const double norm = power > 0.0 ? 1.0 / std::sqrt(power) : 0.0;
+
+  std::vector<double> re(fft_n, 0.0), im(fft_n, 0.0);
+  std::vector<double> tre(fft_n, 0.0), tim(fft_n, 0.0);
+  for (size_t i = 0; i < seg.size() && i < fft_n; ++i) {
+    re[i] = seg[i] * norm;
+    tre[i] = seg[i] * norm * (double)(i + 1);
+  }
+  fft(re, im, false);
+  fft(tre, tim, false);
+  out->assign(fft_n / 2 + 1, 0.0);
+  for (size_t k = 0; k <= fft_n / 2; ++k)
+    (*out)[k] = re[k] * tre[k] + im[k] * tim[k];
+}
+
+// Temporally static group delay of one frame (D4C §2.2): the summed
+// centroids at t -/+ T0/4 over the 4-period smoothed power spectrum,
+// band-smoothed at F0/2 with its F0-smoothed trend removed.
+void d4c_static_group_delay(const double* x, long long n, int fs,
+                            double f0, double tpos, size_t fft_n,
+                            std::vector<double>* sgd) {
+  std::vector<double> c1, c2, p, seg, win;
+  d4c_centroid(x, n, fs, f0, tpos - 0.25 / f0, fft_n, &c1);
+  d4c_centroid(x, n, fs, f0, tpos + 0.25 / f0, fft_n, &c2);
+  for (size_t k = 0; k < c1.size(); ++k) c1[k] += c2[k];
+  dc_correction(c1, f0, fs, fft_n);
+
+  windowed_segment(x, n, fs, f0, tpos, 4.0, 0, &seg, &win);
+  power_spectrum_of(seg, fft_n, &p);
+  dc_correction(p, f0, fs, fft_n);
+  linear_smoothing(p, f0, fs, fft_n);
+
+  sgd->assign(c1.size(), 0.0);
+  for (size_t k = 0; k < c1.size(); ++k)
+    (*sgd)[k] = c1[k] / (p[k] + 1e-12);
+  linear_smoothing(*sgd, f0 * 0.5, fs, fft_n);
+  std::vector<double> trend = *sgd;
+  linear_smoothing(trend, f0, fs, fft_n);
+  for (size_t k = 0; k < sgd->size(); ++k) (*sgd)[k] -= trend[k];
+}
+
+// Coarse aperiodicity (dB) at one 3 kHz band boundary (D4C §2.2): a
+// Nuttall-windowed segment of the static group delay around the
+// boundary is transformed and its sorted power cumulated; a periodic
+// (static) group delay concentrates its power in few coefficients, so
+// the cumulative share outside the top `boundary` coefficients
+// estimates the band's aperiodic power ratio.
+double d4c_coarse_aperiodicity(const std::vector<double>& sgd, int fs,
+                               size_t fft_n, double boundary_hz) {
+  const size_t wlen = fft_n / 8;
+  const size_t boundary = (size_t)std::lround((double)fft_n * 8.0
+                                              / (double)wlen);  // = 64
+  const size_t center =
+      (size_t)std::lround(boundary_hz * (double)fft_n / (double)fs);
+  const size_t half = wlen / 2;
+  std::vector<double> seg(wlen, 0.0);
+  for (size_t j = 0; j < wlen; ++j) {
+    size_t k = center + j >= half ? center + j - half : 0;
+    k = std::min(k, fft_n / 2);
+    seg[j] = sgd[k] * nuttall((double)j / (double)(wlen - 1));
+  }
+  std::vector<double> p;
+  power_spectrum_of(seg, fft_n, &p);
+  std::sort(p.begin(), p.end());
+  for (size_t k = 1; k < p.size(); ++k) p[k] += p[k - 1];
+  const size_t m = p.size() - 1;
+  if (p[m] <= 0.0 || m <= boundary) return -60.0;
+  double ratio = p[m - boundary - 1] / p[m];
+  double db = 10.0 * std::log10(std::max(ratio, 1e-6));
+  return std::min(std::max(db, -60.0), -1e-7);
+}
+
+// WORLD's internal analysis FFT length: 2^(1 + floor(log2(4*fs/floor
+// + 1))) == the next power of two at or above 4 periods of floor_f0.
+size_t d4c_internal_fft(int fs, double floor_f0) {
+  return next_pow2((size_t)(4.0 * fs / floor_f0) + 1);
+}
+
 }  // namespace
 
 extern "C" {
@@ -418,6 +673,80 @@ int world_stonemask(const double* x, long long n, int fs,
       out_f0[i] = cur;   // keep the DIO estimate when refinement strays
     else
       out_f0[i] = refined;
+  }
+  return 0;
+}
+
+// CheapTrick spectral envelope (pyworld.cheaptrick-shaped): per frame
+// writes fft_size/2 + 1 envelope bins to out_sp (frame-major).  A
+// frame whose 3-period window would not fit the analysis FFT
+// (f0 <= fs*3/(fft_size-3)) and an unvoiced frame (f0 == 0) both use
+// the default 500 Hz analysis F0, as the published algorithm does.
+int world_cheaptrick(const double* x, long long n, int fs,
+                     const double* f0, const double* t, long long n_frames,
+                     int fft_size, double q1, double* out_sp) {
+  if (!x || n <= 0 || fs <= 0 || !f0 || !t || n_frames <= 0 ||
+      fft_size < 32 || (fft_size & (fft_size - 1)) != 0 || !out_sp)
+    return -1;
+  const double f0_low_limit = (double)fs * 3.0 / ((double)fft_size - 3.0);
+  const size_t bins = (size_t)fft_size / 2 + 1;
+  for (long long i = 0; i < n_frames; ++i) {
+    double cur = f0[i] <= f0_low_limit ? 500.0 : f0[i];
+    cheaptrick_frame(x, n, fs, cur, t[i], (size_t)fft_size, q1,
+                     out_sp + (size_t)i * bins);
+  }
+  return 0;
+}
+
+// D4C band aperiodicity (pyworld.d4c-shaped): per frame writes
+// fft_size/2 + 1 aperiodicity values in [0, 1] to out_ap
+// (frame-major).  Coarse estimates at 3 kHz interval boundaries
+// (up to min(15 kHz, fs/2 - 3 kHz)) from the temporally static group
+// delay are interpolated over frequency on the dB scale between
+// -60 dB at 0 Hz and ~0 dB at fs/2.  Unvoiced frames and frames whose
+// LoveTrain voicing measure falls at or below `threshold` are fully
+// aperiodic (1 - 1e-12), as in the published algorithm.
+int world_d4c(const double* x, long long n, int fs,
+              const double* f0, const double* t, long long n_frames,
+              int fft_size, double threshold, double* out_ap) {
+  if (!x || n <= 0 || fs <= 0 || !f0 || !t || n_frames <= 0 ||
+      fft_size < 32 || (fft_size & (fft_size - 1)) != 0 || !out_ap)
+    return -1;
+  const double kFloorF0 = 47.0;
+  const size_t fft_n = d4c_internal_fft(fs, kFloorF0);
+  const size_t fft_lt = next_pow2((size_t)(3.0 * fs / 40.0) + 1);
+  const double interval = 3000.0;
+  const int n_ap = std::max(
+      (int)(std::min(15000.0, (double)fs / 2.0 - interval) / interval), 1);
+  const size_t bins = (size_t)fft_size / 2 + 1;
+  const double df_out = (double)fs / (double)fft_size;
+
+  std::vector<double> axis_f(n_ap + 2), axis_db(n_ap + 2);
+  axis_f[0] = 0.0;
+  axis_f[n_ap + 1] = (double)fs / 2.0;
+  for (int b = 0; b < n_ap; ++b) axis_f[b + 1] = interval * (b + 1);
+
+  std::vector<double> sgd;
+  for (long long i = 0; i < n_frames; ++i) {
+    double* row = out_ap + (size_t)i * bins;
+    double cur = std::max(f0[i], kFloorF0);
+    bool voiced = f0[i] > 0.0 &&
+        d4c_love_train(x, n, fs, cur, t[i], fft_lt) > threshold;
+    if (!voiced) {
+      for (size_t k = 0; k < bins; ++k) row[k] = 1.0 - 1e-12;
+      continue;
+    }
+    d4c_static_group_delay(x, n, fs, cur, t[i], fft_n, &sgd);
+    axis_db[0] = -60.0;
+    axis_db[n_ap + 1] = -1e-7;
+    for (int b = 0; b < n_ap; ++b)
+      axis_db[b + 1] = d4c_coarse_aperiodicity(sgd, fs, fft_n,
+                                               interval * (b + 1));
+    for (size_t k = 0; k < bins; ++k) {
+      double db = interp1(axis_f, axis_db, (double)k * df_out);
+      double ap = std::pow(10.0, db / 20.0);
+      row[k] = std::min(std::max(ap, 1e-12), 1.0 - 1e-12);
+    }
   }
   return 0;
 }

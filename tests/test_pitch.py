@@ -150,3 +150,77 @@ def test_stonemask_mae_under_1hz_on_tone():
         v = ref > 0
         assert v.mean() > 0.9
         assert np.abs(ref[v] - true).mean() < 1.0
+
+
+# ---------------------------------------------------------------------------
+# CheapTrick / D4C (native/world.cpp; parity target essentials.py:360-373)
+
+def test_cheaptrick_shapes_and_positivity():
+    x = _tone(220.0, dur=1.0)
+    from asr_model_tpu.native import world_cheaptrick
+
+    f0, tt = dio(x, 16000, 10.0)
+    sp = world_cheaptrick(x, f0, tt, 16000, fft_size=256)
+    assert sp.shape == (len(f0), 129)
+    assert np.isfinite(sp).all() and (sp > 0).all()
+
+
+def test_cheaptrick_envelope_tracks_spectral_content():
+    """The envelope must concentrate where the signal's energy is: a
+    low-harmonic tone yields a low-band-dominant envelope; a 5 kHz
+    tone (unvoiced to DIO, analyzed at the 500 Hz default F0) peaks
+    near 5 kHz."""
+    from asr_model_tpu.native import world_cheaptrick
+
+    sr = 16000
+    freqs = np.arange(129) * sr / 256
+
+    x = _tone(220.0, dur=1.0)
+    f0, tt = dio(x, sr, 10.0)
+    sp = np.asarray(world_cheaptrick(x, f0, tt, sr, fft_size=256))
+    inner = sp[10:-10]
+    low = inner[:, (freqs > 100) & (freqs < 2000)].mean()
+    high = inner[:, freqs > 6000].mean()
+    assert low / high > 1e3
+
+    t = np.arange(sr) / sr
+    hi_tone = np.sin(2 * np.pi * 5000 * t)
+    f0h, tth = dio(hi_tone, sr, 10.0)
+    sph = np.asarray(world_cheaptrick(hi_tone, f0h, tth, sr, fft_size=256))
+    peak_hz = freqs[np.argmax(sph[10:-10].mean(axis=0))]
+    assert abs(peak_hz - 5000) < 500, peak_hz
+
+
+def test_d4c_separates_harmonic_from_noise():
+    """Band aperiodicity: low in the harmonic band of a voiced tone,
+    saturated (~1) on noise frames (the D4C LoveTrain gate)."""
+    from asr_model_tpu.native import world_d4c
+
+    sr = 16000
+    freqs = np.arange(129) * sr / 256
+    x = _tone(220.0, dur=1.0, harmonics=6)
+    f0, tt = dio(x, sr, 10.0)
+    f0 = stonemask(x, f0, tt, sr)
+    ap = np.asarray(world_d4c(x, f0, tt, sr, fft_size=256))
+    assert ap.shape == (len(f0), 129)
+    assert (ap >= 0).all() and (ap <= 1).all()
+    voiced_low = ap[10:-10][:, (freqs > 200) & (freqs < 2000)]
+    assert voiced_low.mean() < 0.35, voiced_low.mean()
+
+    noise = np.random.RandomState(0).randn(sr).astype(np.float64)
+    f0n, tn = dio(noise, sr, 10.0)
+    apn = np.asarray(world_d4c(noise, f0n, tn, sr, fft_size=256))
+    assert apn.mean() > 0.9, apn.mean()
+
+
+def test_harmonics_and_aperiodics_feature_route():
+    """features.harmonics_and_aperiodics routes to the native WORLD
+    implementations with the reference's (128, T) layout
+    (essentials.py:367-371)."""
+    from asr_model_tpu.data.features import harmonics_and_aperiodics
+
+    x = _tone(220.0, dur=0.5)
+    h, a = harmonics_and_aperiodics(x, 16000, 160)
+    assert h.shape[0] == 128 and a.shape == h.shape
+    assert h.dtype == np.float32 and a.dtype == np.float32
+    assert np.isfinite(h).all() and (a >= 0).all() and (a <= 1).all()
