@@ -219,7 +219,18 @@ class Attention(nn.Module):
             q = self._q(x) * scale
             q = self.rot(q, cond=x, causal=False)
             qn = self.head_norm(q)
-            a = sdpa(qn, kn, v, causal=False, kv_valid=kv_valid)
+            # long-form SP: inside a parallel.seq.seq_sharding context
+            # the per-step cross-attention over the (long) cached KV
+            # runs as a distributed online-softmax over the 'seq' axis
+            from asr_model_tpu.parallel.seq import (active_seq_sharding,
+                                                    seq_sharded_attention)
+            ctx = active_seq_sharding()
+            if ctx is not None:
+                mesh, ax = ctx
+                a = seq_sharded_attention(qn, kn, v, mesh=mesh, axis=ax,
+                                          kv_valid=kv_valid)
+            else:
+                a = sdpa(qn, kn, v, causal=False, kv_valid=kv_valid)
             return self.out_proj(_merge_heads(a))
         kv_src = xa if xa is not None else x
         k, v = self._kv(kv_src)

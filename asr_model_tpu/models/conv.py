@@ -77,10 +77,16 @@ class ConvLite(nn.Module):
     dropout: float = 0.1
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, valid=None):
+        """``valid``: optional (B, T) time mask; out-of-bounds rows are
+        re-zeroed before the padded depthwise conv so a halo-extended
+        shard reproduces the unsharded SAME-pad numerics exactly
+        (parallel/seq.py:sp_encode)."""
         residual = x
         x = tlayers.Conv1d(self.dims * 2, self.dims, 1, name="point1")(x)
         x = GLU()(x)
+        if valid is not None:
+            x = x * valid[..., None].astype(x.dtype)
         x = tlayers.Conv1d(self.dims, self.dims, self.kernel_size,
                            groups=self.dims, name="depth")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
@@ -150,11 +156,25 @@ class AudioEncoder(nn.Module):
             self.encoder_layer = TransformerEncoderLayer(self.dims, self.head)
 
     def _process_feature(self, x: jnp.ndarray, train: bool = False,
-                         rng=None) -> jnp.ndarray:
+                         rng=None, pe: bool = True,
+                         valid=None) -> jnp.ndarray:
+        """``pe=False`` skips the sinusoidal position add and ``valid``
+        ((B, T) bool) re-zeroes out-of-bounds time rows before every
+        padded conv — both used by the sequence-parallel encoder
+        (parallel/seq.py:sp_encode), which processes halo-extended time
+        shards and adds globally-offset positions itself.  With
+        ``valid`` all-True (or None) the math is unchanged."""
         act = get_activation(self.act)
         if x.ndim == 2:
             x = x[None]
+
+        def mask(t):
+            if valid is None:
+                return t
+            return t * valid[..., None].astype(t.dtype)
+
         x = jnp.swapaxes(x, -1, -2)          # (B, C, T) -> (B, T, C)
+        x = mask(x)
         if x.shape[-1] > 1:
             x = self.stem_multi(x)
             if self.norm:
@@ -165,14 +185,18 @@ class AudioEncoder(nn.Module):
                 x = self.local_norm(x)
         for blk in self.blocks:
             x = act(x)
+            x = mask(x)                      # before the padded wn k3
             x = blk["wn"](x)
             x = blk["ln"](x)
-            x = blk["convlite"](x, train=train)
+            x = blk["convlite"](x, train=train, valid=valid)
             x = act(x)
+            x = mask(x)                      # before the padded dw k3
             x = blk["dw"](x)
             x = act(x)
             x = self.drop(x, deterministic=not train)
-        x = x + sinusoids(x.shape[1], x.shape[-1], self.theta).astype(x.dtype)
+        if pe:
+            x = x + sinusoids(x.shape[1], x.shape[-1],
+                              self.theta).astype(x.dtype)
         if self.norm:
             x = self.out_norm(x)
         if self.enc:

@@ -192,3 +192,93 @@ def generate_predictions(model: Model, variables, tokenizer=None,
     return greedy_decode(model, variables, spectrogram=spectrogram,
                          pitch=pitch, waveform=waveform,
                          max_new_tokens=max_new_tokens, suppress_eos=True)
+
+
+@functools.lru_cache(maxsize=8)
+def _build_decode_fn_sp(model: Model, max_new_tokens: int,
+                        suppress_eos: bool, mesh, axis: str):
+    """Decode over PRE-ENCODED audio with the seq-sharding context
+    active during tracing: the cached-KV cross-attentions lower to the
+    distributed online-softmax (parallel/seq.py), and the cross-KV
+    precompute partitions over the sharded time axis via GSPMD."""
+    import contextlib
+
+    from asr_model_tpu.parallel.seq import seq_sharding
+
+    T = 1 + max_new_tokens
+
+    def decode(variables, xa_enc):
+        ctx = (seq_sharding(mesh, axis) if mesh is not None
+               else contextlib.nullcontext())
+        with ctx:                         # trace-time routing
+            def _pre(mdl, xa_enc):
+                blk = mdl.processor.block[-1]
+                re_enc = mdl.processor._encode_xa(blk, xa_enc)
+                return mdl.processor._precompute_cross(blk, re_enc)
+
+            xa_kv = model.apply(variables, xa_enc, method=_pre)
+            fx = next(v for k, v in xa_enc.items() if k != "pt")
+            batch = fx.shape[0]
+            ids0 = jnp.full((batch, T), PAD_ID,
+                            jnp.int32).at[:, 0].set(BOS_ID)
+
+            def cond(carry):
+                ids, length, done = carry
+                return (length < T) & ~jnp.all(done)
+
+            def step(carry):
+                ids, length, done = carry
+                valid = jnp.broadcast_to(
+                    jnp.arange(T)[None, :] < length, (batch, T))
+                idx = jnp.clip(length - 1, 0, T - 1)
+                logits = model.apply(variables, ids, xa_kv,
+                                     method=_decode_step,
+                                     text_valid=valid,
+                                     logits_position=idx)
+                next_logits = logits[:, 0]
+                if suppress_eos:
+                    allow = length >= (T - 1)
+                    masked = jnp.where(allow, next_logits[:, EOS_ID],
+                                       -jnp.inf)
+                    next_logits = next_logits.at[:, EOS_ID].set(masked)
+                nxt = jnp.argmax(next_logits, axis=-1).astype(jnp.int32)
+                nxt = jnp.where(done, jnp.asarray(PAD_ID, jnp.int32), nxt)
+                col = jnp.arange(T) == length
+                ids = jnp.where(col[None, :], nxt[:, None], ids)
+                done = done | (nxt == EOS_ID)
+                return ids, length + 1, done
+
+            init = (ids0, jnp.asarray(1, jnp.int32),
+                    jnp.zeros(batch, bool))
+            ids, _, _ = jax.lax.while_loop(cond, step, init)
+            return ids
+
+    return jax.jit(decode)
+
+
+def greedy_decode_sp(model: Model, variables, mesh, spectrogram=None,
+                     pitch=None, waveform=None, axis: str = "seq",
+                     max_new_tokens: int = 150,
+                     suppress_eos: bool = False) -> jnp.ndarray:
+    """Sequence-parallel single-pass greedy decode for LONG audio
+    (BASELINE config #4 at scale): the encoder runs time-sharded over
+    the mesh's ``axis`` (parallel/seq.py:sp_encode, halo-exact) and
+    every per-step cross-attention runs as a distributed online-softmax
+    — one utterance spans the whole slice instead of being chunked.
+
+    Feature time axes must be divisible by the axis size with shards
+    >= the conv receptive field (pad with zero frames — the reference
+    attends over pad frames, so zero-padding is parity-consistent)."""
+    from asr_model_tpu.parallel.seq import sp_encode
+
+    xa = modality_slots(pitch, spectrogram, waveform, None)
+    enc, by_id = {}, {}
+    for k, v in xa.items():
+        if k not in ("a", "b", "c"):
+            continue
+        if id(v) not in by_id:             # shared slots encode once
+            by_id[id(v)] = sp_encode(model, variables, v, mesh, axis)
+        enc[k] = by_id[id(v)]
+    fn = _build_decode_fn_sp(model, int(max_new_tokens),
+                             bool(suppress_eos), mesh, axis)
+    return fn(variables, enc)

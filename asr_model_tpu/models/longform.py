@@ -94,3 +94,46 @@ def transcribe_long(model: Model, variables, audio: np.ndarray,
 
     text = tokenizer.decode(out_ids) if tokenizer is not None else None
     return out_ids, text
+
+
+def transcribe_long_sp(model: Model, variables, audio: np.ndarray,
+                       mesh, tokenizer=None, sample_rate: int = 16000,
+                       hop: int = 160, axis: str = "seq",
+                       max_new_tokens: int = 600,
+                       use_pitch: bool = True, use_waveform: bool = True):
+    """Single-pass sequence-parallel long-form transcription
+    (SURVEY §5.7 / §2.5 item 4 at scale): instead of chunking, the
+    whole utterance is encoded time-sharded over the mesh's ``axis``
+    (parallel/seq.py:sp_encode, halo-exact) and decoded with every
+    cross-attention distributed (online-softmax over ICI) — one
+    utterance spans the slice, no chunk-boundary effects, one decode
+    pass.  Feature frames are zero-padded up to a multiple of the axis
+    size (the reference attends over pad frames; parity-consistent).
+
+    Returns (ids, text?) like ``transcribe_long``."""
+    from asr_model_tpu.models.generate import greedy_decode_sp
+    from asr_model_tpu.parallel.seq import encoder_halo
+
+    mels = model.param.mels
+    n = mesh.shape[axis]
+    frontend = jax.jit(lambda a: _frontend(a, sample_rate, hop, mels))
+    mel, pitch, wave = frontend(jnp.asarray(np.asarray(audio, np.float32)))
+
+    T = mel.shape[-1]
+    halo = encoder_halo(model.param.layer)
+    t_local = max((T + n - 1) // n, halo)
+    T_pad = t_local * n
+
+    def pad(x):
+        return jnp.pad(x, ((0, 0),) * (x.ndim - 1)
+                       + ((0, T_pad - x.shape[-1]),))
+
+    ids = greedy_decode_sp(
+        model, variables, mesh, spectrogram=pad(mel),
+        pitch=pad(pitch) if use_pitch else None,
+        waveform=pad(wave) if use_waveform else None,
+        axis=axis, max_new_tokens=max_new_tokens)
+    row = np.asarray(ids)[0]
+    out = [int(t) for t in row[1:] if t not in (PAD_ID, EOS_ID)]
+    text = tokenizer.decode(out) if tokenizer is not None else None
+    return out, text

@@ -5,14 +5,19 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
 Headline metric (BASELINE.md): RTFx = audio-seconds transcribed per
-wall-second per chip for the full path — on-device log-mel frontend +
-AudioEncoder + greedy decode (fixed token budget, EOS suppressed so the
-random-init model does the full decode work), batch 8, 10 s utterances,
-flagship config (dims=512, 4 heads, 40k vocab), bf16 inference.
+wall-second per chip for the REFERENCE-EQUIVALENT live pipeline
+(model.py:733-744): on-device log-mel frontend + on-device YIN pitch
+track + frame-rate waveform downsample -> three distinct modality
+encodings (a=pitch, b=spectrogram, c=waveform — no slot dedupe) +
+greedy decode with a realistic 64-token budget for 10 s utterances
+(EOS suppressed so the random-init model does the full decode work),
+batch 8, flagship config (dims=512, 4 heads, 40k vocab), bf16.
 
-The reference publishes no numbers (BASELINE.md: "published: none");
-``vs_baseline`` compares against BASELINE_MEASURED.json when present,
-else 0.0 (not comparable).
+``vs_baseline`` compares against BASELINE_MEASURED.json, produced by
+``tools/bench_reference.py`` — the actual reference implementation run
+on the same workload on this image's host CPU (no CUDA is available;
+the file records the hardware so the comparison is explicit).  0.0
+when the file is absent.
 
 Timing notes for tunneled TPU runtimes (axon): block_until_ready does
 not synchronize, so the loop enqueues n_iter dispatches and host-fetches
@@ -36,12 +41,14 @@ def main():
     from asr_model_tpu.config import Dimensions, ModelConfig
     from asr_model_tpu.models.generate import greedy_decode
     from asr_model_tpu.models.model import Model, cast_variables
+    from asr_model_tpu.ops.audio import frame_rate_waveform
     from asr_model_tpu.ops.mel import log_mel_spectrogram
+    from asr_model_tpu.ops.pitch import yin_f0
 
     sr, hop = 16000, 160
     utt_sec = 10.0
     batch = 8
-    max_new_tokens = 32
+    max_new_tokens = 64        # ~3 words/sec * 10 s * ~1.6 BPE/word
 
     rng = np.random.RandomState(0)
     t = np.arange(int(sr * utt_sec)) / sr
@@ -54,23 +61,37 @@ def main():
 
     dims = Dimensions()          # flagship: 40k vocab, 512 dims, 4 heads
     model = Model(param=dims, cfg=ModelConfig(dims=dims))
+    frame_period = hop / sr * 1000.0
 
     @jax.jit
     def frontend(audio):
+        """All three live modalities, on device (extract_features parity:
+        essentials.py:451-510 — pitch via the jittable YIN estimator)."""
         mel = jax.vmap(lambda a: log_mel_spectrogram(a, sr, 1024, hop,
                                                      dims.mels))(audio)
-        return mel.astype(jnp.bfloat16)
+        T = mel.shape[-1]
+        f0, _ = jax.vmap(lambda a: yin_f0(a, fs=sr,
+                                          frame_period=frame_period))(audio)
+        f0 = f0[:, None, :]                          # (B, 1, Tp)
+        pad = max(T - f0.shape[-1], 0)
+        f0 = jnp.pad(f0, ((0, 0), (0, 0), (0, pad)))[..., :T]
+        wav = jax.vmap(lambda a: frame_rate_waveform(a, sr, hop))(audio)
+        return (mel.astype(jnp.bfloat16), f0.astype(jnp.bfloat16),
+                wav.astype(jnp.bfloat16))
 
-    mel = np.asarray(frontend(audio))      # compile + sync
+    mel, f0, wav = jax.tree.map(np.asarray, frontend(audio))  # compile+sync
 
     variables = model.init({"params": jax.random.key(0)},
                            jnp.ones((batch, 4), jnp.int32),
-                           spectrogram=jnp.asarray(mel))
+                           spectrogram=jnp.asarray(mel),
+                           pitch=jnp.asarray(f0),
+                           waveform=jnp.asarray(wav))
     variables = cast_variables(variables)  # bf16 inference mode
 
     def transcribe(audio):
-        mel = frontend(audio)
+        mel, f0, wav = frontend(audio)
         return greedy_decode(model, variables, spectrogram=mel,
+                             pitch=f0, waveform=wav,
                              max_new_tokens=max_new_tokens,
                              suppress_eos=True)
 
@@ -98,7 +119,8 @@ def main():
 
     print(json.dumps({
         "metric": "transcription RTFx (audio-sec/sec/chip: on-device "
-                  "log-mel + encoder + greedy decode, flagship 512d/40k, "
+                  "log-mel + YIN pitch + waveform frontend, 3-modality "
+                  "encode, greedy decode 64 tokens, flagship 512d/40k, "
                   "bf16, batch 8)",
         "value": round(rtfx, 3),
         "unit": "x realtime",

@@ -76,3 +76,29 @@ def test_transcribe_long_runs(tiny):
                                 use_pitch=False, use_waveform=False)
     assert isinstance(ids, list)
     assert all(i not in (0, 2) for i in ids)   # no PAD/EOS in output
+
+
+def test_transcribe_long_sp_runs():
+    """Single-pass SP long-form returns token ids (8-way seq mesh)."""
+    import jax
+    import jax.numpy as jnp
+
+    from asr_model_tpu.config import Dimensions, ModelConfig
+    from asr_model_tpu.models.longform import transcribe_long_sp
+    from asr_model_tpu.models.model import Model
+    from asr_model_tpu.parallel.mesh import make_mesh
+
+    dims = Dimensions(tokens=32, mels=8, dims=16, head=2, layer=2)
+    model = Model(param=dims, cfg=ModelConfig(dims=dims))
+    sr = 16000
+    audio = np.sin(2 * np.pi * 220 *
+                   np.arange(int(sr * 3.0)) / sr).astype(np.float32)
+    spec0 = jnp.zeros((1, dims.mels, 64), jnp.float32)
+    variables = jax.jit(lambda r: model.init(
+        {"params": r}, jnp.ones((1, 2), jnp.int32),
+        spectrogram=spec0))(jax.random.key(0))
+    mesh = make_mesh(data=1, model=1, seq=8)
+    ids, _ = transcribe_long_sp(model, variables, audio, mesh,
+                                max_new_tokens=4, use_pitch=False,
+                                use_waveform=False)
+    assert isinstance(ids, list)

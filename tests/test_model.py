@@ -31,24 +31,26 @@ def setup():
         {"params": r, "gumbel": r}, b["text_ids"], labels=b["labels"],
         spectrogram=b["spectrogram"], pitch=b["pitch"],
         waveform=b["waveform"]))(jax.random.key(0), batch)
-    return model, variables, batch
+    # one jitted apply shared by the tests below: eager apply of even
+    # the tiny model costs ~10s of op-by-op dispatch per call, while a
+    # jitted call compiles once (persistently cached) and replays in ms
+    fwd = jax.jit(lambda ids, b: model.apply(
+        variables, ids, labels=b["labels"], spectrogram=b["spectrogram"],
+        pitch=b["pitch"], waveform=b["waveform"]))
+    return model, variables, batch, fwd
 
 
 def test_forward_shapes_and_loss(setup):
-    model, variables, batch = setup
-    out = model.apply(variables, batch["text_ids"], labels=batch["labels"],
-                      spectrogram=batch["spectrogram"],
-                      pitch=batch["pitch"], waveform=batch["waveform"])
+    model, variables, batch, fwd = setup
+    out = fwd(batch["text_ids"], batch)
     assert out["logits"].shape == (2, 6, 50)
     assert np.isfinite(float(out["loss"]))
 
 
 def test_deterministic_without_rng(setup):
-    model, variables, batch = setup
-    kw = dict(spectrogram=batch["spectrogram"], pitch=batch["pitch"],
-              waveform=batch["waveform"])
-    o1 = model.apply(variables, batch["text_ids"], **kw)["logits"]
-    o2 = model.apply(variables, batch["text_ids"], **kw)["logits"]
+    model, variables, batch, fwd = setup
+    o1 = fwd(batch["text_ids"], batch)["logits"]
+    o2 = fwd(batch["text_ids"], batch)["logits"]
     np.testing.assert_allclose(np.asarray(o1), np.asarray(o2))
 
 
@@ -69,14 +71,15 @@ def test_ce_ignore_pad():
 
 
 def test_single_modality_works(setup):
-    model, variables, batch = setup
-    out = model.apply(variables, batch["text_ids"],
-                      spectrogram=batch["spectrogram"])
+    model, variables, batch, _ = setup
+    out = jax.jit(lambda ids, spec: model.apply(
+        variables, ids, spectrogram=spec))(
+            batch["text_ids"], batch["spectrogram"])
     assert out["logits"].shape == (2, 6, 50)
 
 
 def test_greedy_decode_shapes_and_eos(setup):
-    model, variables, batch = setup
+    model, variables, batch, _ = setup
     ids = greedy_decode(model, variables,
                         spectrogram=batch["spectrogram"],
                         pitch=batch["pitch"], waveform=batch["waveform"],
@@ -89,21 +92,24 @@ def test_greedy_decode_shapes_and_eos(setup):
 def test_prefix_masking_matches_unpadded(setup):
     """A fixed-size masked buffer must reproduce the variable-length
     prefix numerics exactly (the decode-correctness invariant)."""
-    model, variables, batch = setup
+    model, variables, batch, _ = setup
     xa = modality_slots(pitch=batch["pitch"],
                         spectrogram=batch["spectrogram"],
                         waveform=batch["waveform"])
-    xa_enc = model.apply(variables, xa, method=Model.encode)
+    xa_enc = jax.jit(lambda v, x: model.apply(v, x, method=Model.encode))(
+        variables, xa)
 
     def run(mdl, ids, valid):
         return mdl.processor(ids, xa_enc, seq=True, text_valid=valid,
                              xa_preencoded=False)
 
+    apply_run = jax.jit(lambda ids, valid: model.apply(
+        variables, ids, valid, method=run))
     prefix = batch["text_ids"][:, :3]
-    out_short = model.apply(variables, prefix, None, method=run)
+    out_short = apply_run(prefix, None)
     padded = jnp.pad(batch["text_ids"][:, :3], ((0, 0), (0, 3)))
     valid = jnp.asarray([[1, 1, 1, 0, 0, 0]] * 2, bool)
-    out_masked = model.apply(variables, padded, valid, method=run)
+    out_masked = apply_run(padded, valid)
     np.testing.assert_allclose(np.asarray(out_short),
                                np.asarray(out_masked)[:, :3], atol=2e-4,
                                rtol=1e-3)
@@ -156,11 +162,12 @@ def test_tiny_overfit_one_batch():
 def test_cross_kv_cache_matches_full_path(setup):
     """The decode-time cross-attention K/V cache must be numerics-exact
     vs the full per-step recomputation (parity invariant)."""
-    model, variables, batch = setup
+    model, variables, batch, _ = setup
     xa = modality_slots(pitch=batch["pitch"],
                         spectrogram=batch["spectrogram"],
                         waveform=batch["waveform"])
-    xa_enc = model.apply(variables, xa, method=Model.encode)
+    xa_enc = jax.jit(lambda v, x: model.apply(v, x, method=Model.encode))(
+        variables, xa)
     ids = batch["text_ids"][:, :4]
 
     def full(mdl, ids):
@@ -172,8 +179,8 @@ def test_cross_kv_cache_matches_full_path(setup):
         kv = mdl.processor._precompute_cross(blk, re_enc)
         return mdl.processor(ids, {}, seq=True, xa_kv=kv)
 
-    a = model.apply(variables, ids, method=full)
-    b = model.apply(variables, ids, method=cached)
+    a = jax.jit(lambda i: model.apply(variables, i, method=full))(ids)
+    b = jax.jit(lambda i: model.apply(variables, i, method=cached))(ids)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                atol=2e-4, rtol=2e-3)
 
@@ -196,8 +203,9 @@ def test_processor_is_not_causal_beyond_attention():
                       cfg=ModelConfig(dims=dims, causal_all=causal_all))
         variables = jax.jit(lambda r: model.init(
             {"params": r}, ids1, spectrogram=spec))(jax.random.key(0))
-        l1 = model.apply(variables, ids1, spectrogram=spec)["logits"]
-        l2 = model.apply(variables, ids2, spectrogram=spec)["logits"]
+        f = jax.jit(lambda i: model.apply(
+            variables, i, spectrogram=spec)["logits"])
+        l1, l2 = f(ids1), f(ids2)
         assert not np.allclose(np.asarray(l1)[:, :2],
                                np.asarray(l2)[:, :2], atol=1e-5), \
             f"unexpectedly causal (causal_all={causal_all})"
@@ -215,8 +223,9 @@ def test_streaming_processor_is_prefix_causal():
     model = Model(param=dims, cfg=ModelConfig(dims=dims, streaming=True))
     variables = jax.jit(lambda r: model.init(
         {"params": r}, ids1, spectrogram=spec))(jax.random.key(0))
-    l1 = model.apply(variables, ids1, spectrogram=spec)["logits"]
-    l2 = model.apply(variables, ids2, spectrogram=spec)["logits"]
+    f = jax.jit(lambda i: model.apply(
+        variables, i, spectrogram=spec)["logits"])
+    l1, l2 = f(ids1), f(ids2)
     np.testing.assert_allclose(np.asarray(l1)[:, :2],
                                np.asarray(l2)[:, :2], atol=1e-5, rtol=1e-4)
     # still sequence-dependent beyond the shared prefix
@@ -235,16 +244,19 @@ def test_streaming_prefix_masking_matches_unpadded():
     variables = jax.jit(lambda r: model.init(
         {"params": r}, ids, spectrogram=spec))(jax.random.key(0))
     xa = modality_slots(spectrogram=spec)
-    xa_enc = model.apply(variables, xa, method=Model.encode)
+    xa_enc = jax.jit(lambda v, x: model.apply(v, x, method=Model.encode))(
+        variables, xa)
 
     def run(mdl, ids, valid):
         return mdl.processor(ids, xa_enc, seq=True, text_valid=valid,
                              xa_preencoded=False)
 
-    out_short = model.apply(variables, ids[:, :3], None, method=run)
+    apply_run = jax.jit(lambda i, v: model.apply(variables, i, v,
+                                                 method=run))
+    out_short = apply_run(ids[:, :3], None)
     padded = jnp.pad(ids[:, :3], ((0, 0), (0, 3)))
     valid = jnp.asarray([[1, 1, 1, 0, 0, 0]] * 2, bool)
-    out_masked = model.apply(variables, padded, valid, method=run)
+    out_masked = apply_run(padded, valid)
     np.testing.assert_allclose(np.asarray(out_short),
                                np.asarray(out_masked)[:, :3], atol=2e-4,
                                rtol=1e-3)
