@@ -53,14 +53,23 @@ def chunk_audio(audio: np.ndarray, sample_rate: int = 16000,
     return chunks
 
 
-def _frontend(audio: jnp.ndarray, sample_rate: int, hop: int, mels: int):
+def _frontend(audio: jnp.ndarray, sample_rate: int, hop: int, mels: int,
+              dtype=jnp.float32):
+    """Feature frontend for one chunk; ``dtype`` must match the
+    variables' parameter dtype (bf16 inference mode casts params, so
+    features follow — mixed conv input/kernel dtypes are an error)."""
     mel = log_mel_spectrogram(audio, sample_rate, 1024, hop, mels)
     wave = frame_rate_waveform(audio, sample_rate, hop)
     f0, _ = yin_f0(audio, fs=sample_rate,
                    frame_period=hop / sample_rate * 1000.0)
     T = mel.shape[-1]
     f0 = jnp.pad(f0[None, :], ((0, 0), (0, max(T - f0.shape[-1], 0))))
-    return mel[None], f0[None, :, :T], wave[None]
+    return (mel[None].astype(dtype), f0[None, :, :T].astype(dtype),
+            wave[None].astype(dtype))
+
+
+def _param_dtype(variables):
+    return jax.tree.leaves(variables["params"])[0].dtype
 
 
 def transcribe_long(model: Model, variables, audio: np.ndarray,
@@ -72,7 +81,9 @@ def transcribe_long(model: Model, variables, audio: np.ndarray,
     """Transcribe arbitrarily long audio.  Returns (ids, text?)."""
     mels = model.param.mels
     chunks = chunk_audio(audio, sample_rate, chunk_sec, overlap_sec)
-    frontend = jax.jit(lambda a: _frontend(a, sample_rate, hop, mels))
+    dtype = _param_dtype(variables)
+    frontend = jax.jit(lambda a: _frontend(a, sample_rate, hop, mels,
+                                           dtype))
 
     out_ids: List[int] = []
     prompt = np.zeros((0,), np.int32)
@@ -116,7 +127,9 @@ def transcribe_long_sp(model: Model, variables, audio: np.ndarray,
 
     mels = model.param.mels
     n = mesh.shape[axis]
-    frontend = jax.jit(lambda a: _frontend(a, sample_rate, hop, mels))
+    dtype = _param_dtype(variables)
+    frontend = jax.jit(lambda a: _frontend(a, sample_rate, hop, mels,
+                                           dtype))
     mel, pitch, wave = frontend(jnp.asarray(np.asarray(audio, np.float32)))
 
     T = mel.shape[-1]

@@ -42,18 +42,33 @@ def _frame(x: jnp.ndarray, frame_len: int, hop: int) -> jnp.ndarray:
 
 
 def _yin_difference(frames: jnp.ndarray, max_lag: int) -> jnp.ndarray:
-    """d[t, tau] = sum_j (x_j - x_{j+tau})^2 over a window W, computed as
-    r0[t] + r0_shift[t,tau] - 2*acf[t,tau] with one matmul-like einsum."""
+    """d[t, tau] = sum_{j<W} (x_j - x_{j+tau})^2 for tau in [0, max_lag),
+    W = frame_len - max_lag, as e0 + e_tau - 2*acf.
+
+    TPU formulation: the lag cross-correlation acf[t, tau] =
+    sum_j x_j x_{j+tau} runs as one batched FFT correlation (O(N log N),
+    HBM-light) instead of materializing the (T, max_lag, W) shifted-
+    window tensor (~200 MB per 10 s utterance) a gather formulation
+    needs; the sliding energy e_tau is a cumulative-sum difference.
+    With the FFT size >= frame_len, circular correlation equals linear
+    correlation for all tau < max_lag (no wraparound: j + tau <
+    W + max_lag = frame_len)."""
     W = frames.shape[-1] - max_lag
     base = frames[..., :W]
-    d = []
-    # vectorized: build shifted views via gather (tau axis)
-    tau_idx = jnp.arange(max_lag)[:, None] + jnp.arange(W)[None, :]
-    shifted = jnp.take(frames, tau_idx, axis=-1)            # (T, max_lag, W)
-    acf = jnp.einsum("tw,tlw->tl", base, shifted)
-    e0 = jnp.sum(base * base, axis=-1, keepdims=True)
-    e_tau = jnp.sum(shifted * shifted, axis=-1)
-    return e0 + e_tau - 2 * acf                              # (T, max_lag)
+    n_fft = 1
+    while n_fft < frames.shape[-1]:
+        n_fft *= 2
+    fr = jnp.fft.rfft(frames, n=n_fft, axis=-1)
+    ba = jnp.fft.rfft(base, n=n_fft, axis=-1)
+    acf = jnp.fft.irfft(jnp.conj(ba) * fr, n=n_fft,
+                        axis=-1)[..., :max_lag]              # (T, max_lag)
+    sq = jnp.cumsum(frames * frames, axis=-1)
+    zero = jnp.zeros_like(sq[..., :1])
+    sq = jnp.concatenate([zero, sq], axis=-1)                # prefix sums
+    tau = jnp.arange(max_lag)
+    e_tau = sq[..., tau + W] - sq[..., tau]                  # (T, max_lag)
+    e0 = e_tau[..., :1]
+    return e0 + e_tau - 2 * acf
 
 
 def _cmnd(d: jnp.ndarray) -> jnp.ndarray:

@@ -102,3 +102,20 @@ def test_transcribe_long_sp_runs():
                                 max_new_tokens=4, use_pitch=False,
                                 use_waveform=False)
     assert isinstance(ids, list)
+
+
+def test_transcribe_long_bf16_variables(tiny):
+    """bf16 inference mode (cast_variables) must work through the
+    long-form path — the chunk frontend follows the param dtype
+    (regression: f32 features vs bf16 conv kernels is a dtype error)."""
+    from asr_model_tpu.models.model import cast_variables
+
+    model, variables, _ = tiny
+    sr = 16000
+    audio = np.sin(2 * np.pi * 220 *
+                   np.arange(int(sr * 1.5)) / sr).astype(np.float32)
+    ids, _ = transcribe_long(model, cast_variables(variables), audio,
+                             chunk_sec=1.0, overlap_sec=0.25,
+                             max_new_tokens_per_chunk=3,
+                             use_pitch=False, use_waveform=False)
+    assert isinstance(ids, list)
