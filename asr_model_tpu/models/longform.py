@@ -19,6 +19,7 @@ The reference handles long audio only by padding to the 2048-ctx cap
 
 from __future__ import annotations
 
+import functools
 from typing import List, Optional
 
 import jax
@@ -72,6 +73,17 @@ def _param_dtype(variables):
     return jax.tree.leaves(variables["params"])[0].dtype
 
 
+@functools.lru_cache(maxsize=8)
+def _jit_frontend(sample_rate: int, hop: int, mels: int,
+                  dtype_name: str):
+    """One jitted frontend per (sr, hop, mels, dtype) — a fresh
+    ``jax.jit(lambda ...)`` per transcribe call would miss jax's C++
+    fast path and re-trace on every call."""
+    dtype = jnp.dtype(dtype_name)
+    return jax.jit(
+        lambda a: _frontend(a, sample_rate, hop, mels, dtype))
+
+
 def transcribe_long(model: Model, variables, audio: np.ndarray,
                     tokenizer=None, sample_rate: int = 16000,
                     chunk_sec: float = 30.0, overlap_sec: float = 2.0,
@@ -81,9 +93,8 @@ def transcribe_long(model: Model, variables, audio: np.ndarray,
     """Transcribe arbitrarily long audio.  Returns (ids, text?)."""
     mels = model.param.mels
     chunks = chunk_audio(audio, sample_rate, chunk_sec, overlap_sec)
-    dtype = _param_dtype(variables)
-    frontend = jax.jit(lambda a: _frontend(a, sample_rate, hop, mels,
-                                           dtype))
+    frontend = _jit_frontend(sample_rate, hop, mels,
+                             str(_param_dtype(variables)))
 
     out_ids: List[int] = []
     prompt = np.zeros((0,), np.int32)
@@ -127,9 +138,8 @@ def transcribe_long_sp(model: Model, variables, audio: np.ndarray,
 
     mels = model.param.mels
     n = mesh.shape[axis]
-    dtype = _param_dtype(variables)
-    frontend = jax.jit(lambda a: _frontend(a, sample_rate, hop, mels,
-                                           dtype))
+    frontend = _jit_frontend(sample_rate, hop, mels,
+                             str(_param_dtype(variables)))
     mel, pitch, wave = frontend(jnp.asarray(np.asarray(audio, np.float32)))
 
     T = mel.shape[-1]

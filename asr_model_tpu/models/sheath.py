@@ -35,6 +35,7 @@ paths, ReLU — the reference's einsum shapes are broken (model.py:372).
 from __future__ import annotations
 
 import math
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -49,6 +50,17 @@ from asr_model_tpu.utils import l2norm
 
 def _linear_init(fan_in):
     return tlayers.torch_kernel_init(), tlayers.torch_bias_init(fan_in)
+
+
+# PALLAS_SHEATH: "on" forces the fused scan everywhere (interpreter on
+# CPU — tests), "off" disables it, unset routes it on TPU only.
+_PALLAS_SHEATH = os.environ.get("PALLAS_SHEATH", "auto").lower()
+
+
+def _pallas_sheath_enabled() -> bool:
+    if _PALLAS_SHEATH == "off":
+        return False
+    return _PALLAS_SHEATH == "on" or jax.default_backend() == "tpu"
 
 
 def _layer_norm(x, scale, bias, eps=1e-5):
@@ -207,6 +219,71 @@ class MSheath(nn.Module):
         else:
             keys = None
 
+        # decode hot path: the whole layer-slot recurrence as ONE
+        # Pallas program (ops/pallas/sheath_kernel.py) — eval-only
+        # (keys=None makes every STE exact and the jump gate 1),
+        # non-streaming, decoder configuration (mini_hc=False).  The
+        # kernel keeps x, its scratch carry, and every weight resident
+        # in VMEM, so it is gated to prefix-sized inputs (the per-step
+        # decode buffer); encoder-length calls (the once-per-utterance
+        # cross-KV precompute, N ~ batch*1000 frames) stay on XLA —
+        # they are matmul-shaped and not dispatch-bound.
+        if keys is None and not streaming and not self.mini_hc \
+                and x.size <= 400_000 and _pallas_sheath_enabled():
+            x, jstat, actions = self._fused_scan(x, valid, policy_mean)
+        else:
+            x, jstat, actions = self._xla_scan(
+                x, orig_x, mem_w0, valid, policy_mean, keys, streaming)
+
+        gate = nn.sigmoid(x @ self.mlpgate_w + self.mlpgate_b)
+        h = _layer_norm(x, self.mlp_ln_scale, self.mlp_ln_bias)
+        output = self.mlp2(nn.silu(self.mlp1(h)))
+        x = x + gate * output
+        # surfaced for the train loop's Jumps/* counters (SURVEY §5.5)
+        self.sow("intermediates", "jstat", jstat)
+        return x, {"jstat": jstat, "actions": actions}
+
+    def _fused_scan(self, x, valid, policy_mean):
+        from asr_model_tpu.ops.pallas.sheath_kernel import fused_sheath_scan
+
+        b, ctx, d = x.shape
+        f32 = jnp.float32
+        m = (jnp.ones((b, ctx), f32) if valid is None
+             else valid.astype(f32))
+        n_b = jnp.maximum(jnp.sum(m, axis=1, keepdims=True), 1.0)
+        eye = jnp.eye(b, dtype=f32)
+        pool_w = (eye[:, :, None] * (m / n_b)[None]).reshape(b, b * ctx)
+        bcast = jnp.repeat(eye, ctx, axis=0)                # (b*ctx, b)
+        pot_w = (m / jnp.maximum(jnp.sum(m), 1.0)).reshape(1, b * ctx)
+        weights = {
+            "ln_scale": self.ln_scale, "ln_bias": self.ln_bias,
+            "gate_w": self.gate_w[..., 0], "gate_b": self.gate_b,
+            "mkey": self.mkey, "mval": self.mval[..., 0],
+            "vmlp1_w": self.vmlp1_w, "vmlp1_b": self.vmlp1_b,
+            "vmlp2_w": self.vmlp2_w[..., 0], "vmlp2_b": self.vmlp2_b,
+            "vcat_w": self.vcat_w[..., 0], "vcat_b": self.vcat_b,
+            "adapt_w": self.adapt_w, "adapt_b": self.adapt_b,
+            "memgate_w": self.memgate_w.reshape(1, d),
+            "memgate_b": self.memgate_b.reshape(1, 1),
+        }
+        # the kernel computes in f32, and the per-slot stacks are read
+        # with a DYNAMIC leading index (the jump-dependent slot) —
+        # Mosaic cannot prove sublane alignment for dynamically-indexed
+        # packed (bf16) rows, so the (small) stacks go in as f32
+        weights = {k: v.astype(jnp.float32) for k, v in weights.items()}
+        xk, actions, jstat = fused_sheath_scan(
+            x.reshape(b * ctx, d), pool_w, bcast, pot_w,
+            self.mem_w.reshape(1, d),
+            jnp.argmax(policy_mean).astype(jnp.int32), self.jump_s,
+            weights, L=self.layer, thresh=self.thresh,
+            interpret=jax.default_backend() != "tpu")
+        return xk.reshape(b, ctx, d), jstat, actions
+
+    def _xla_scan(self, x, orig_x, mem_w0, valid, policy_mean, keys,
+                  streaming):
+        L = self.layer
+        b = x.shape[0]
+
         def body(carry, step):
             x, mem_w, i, jstat = carry
             active = i < L
@@ -266,11 +343,4 @@ class MSheath(nn.Module):
                 jnp.zeros(3, jnp.int32))
         (x, mem_w, _, jstat), actions = jax.lax.scan(
             body, init, jnp.arange(L))
-
-        gate = nn.sigmoid(x @ self.mlpgate_w + self.mlpgate_b)
-        h = _layer_norm(x, self.mlp_ln_scale, self.mlp_ln_bias)
-        output = self.mlp2(nn.silu(self.mlp1(h)))
-        x = x + gate * output
-        # surfaced for the train loop's Jumps/* counters (SURVEY §5.5)
-        self.sow("intermediates", "jstat", jstat)
-        return x, {"jstat": jstat, "actions": actions}
+        return x, jstat, actions

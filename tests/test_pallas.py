@@ -122,3 +122,58 @@ def test_flash_attention_uneven_lengths():
     want = np.asarray(sdpa(q, k, v))
     got = np.asarray(flash_attention(q, k, v, interpret=True))
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=2e-4)
+
+
+@pytest.mark.parametrize("use_valid", [False, True])
+def test_fused_sheath_scan_matches_xla(use_valid, monkeypatch):
+    """The fused MSheath Pallas program (interpreter mode on CPU) must
+    reproduce the XLA lax.scan path exactly: outputs to f32 rounding,
+    jump actions and jstat counters bit-equal."""
+    import asr_model_tpu.models.sheath as sheath_mod
+    from asr_model_tpu.models.sheath import MSheath
+
+    rng = np.random.RandomState(0)
+    B, T, D = 2, 6, 64
+    m = MSheath(dims=D, head=2, layer=4)
+    x = jnp.asarray(rng.randn(B, T, D), jnp.float32)
+    valid = jnp.asarray([[1, 1, 1, 1, 0, 0], [1] * 6], bool) \
+        if use_valid else None
+    variables = m.init({"params": jax.random.key(0)}, x)
+
+    monkeypatch.setattr(sheath_mod, "_PALLAS_SHEATH", "off")
+    want, aux_w = m.apply(variables, x, valid)
+    monkeypatch.setattr(sheath_mod, "_PALLAS_SHEATH", "on")
+    got, aux_g = m.apply(variables, x, valid)
+
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-4)
+    np.testing.assert_array_equal(np.asarray(aux_w["jstat"]),
+                                  np.asarray(aux_g["jstat"]))
+    np.testing.assert_array_equal(np.asarray(aux_w["actions"]),
+                                  np.asarray(aux_g["actions"]))
+
+
+def test_fused_sheath_scan_bf16(monkeypatch):
+    """bf16 storage: the kernel computes in f32 internally and must
+    stay within bf16 tolerance of the XLA bf16 path."""
+    import asr_model_tpu.models.sheath as sheath_mod
+    from asr_model_tpu.models.sheath import MSheath
+
+    rng = np.random.RandomState(1)
+    B, T, D = 2, 5, 64
+    m = MSheath(dims=D, head=2, layer=4)
+    x32 = jnp.asarray(rng.randn(B, T, D), jnp.float32)
+    variables = m.init({"params": jax.random.key(0)}, x32)
+    bf_vars = jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16)
+        if a.dtype == jnp.float32 else a, variables)
+    x = x32.astype(jnp.bfloat16)
+
+    monkeypatch.setattr(sheath_mod, "_PALLAS_SHEATH", "off")
+    want, _ = m.apply(bf_vars, x)
+    monkeypatch.setattr(sheath_mod, "_PALLAS_SHEATH", "on")
+    got, _ = m.apply(bf_vars, x)
+    assert got.dtype == want.dtype
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               atol=5e-2, rtol=5e-2)

@@ -122,13 +122,17 @@ def main():
         return model.apply(bf16_vars, slots, method=Model.encode)
 
     enc_fn = jax.jit(_enc)
+    # fetch only a scalar checksum: pulling the full (3, 8, 1001, 512)
+    # encoding through the tunnel (~24 MB) would dominate the timing
+    sum_fn = jax.jit(lambda e: sum(jnp.sum(v.astype(jnp.float32))
+                                   for v in e.values()))
 
     enc = enc_fn(a8)
-    jax.tree.map(np.asarray, enc)          # compile + sync
+    float(sum_fn(enc))                     # compile + sync
     t0 = time.perf_counter()
     for _ in range(args.iters):
         enc = enc_fn(a8)
-    jax.tree.map(np.asarray, enc)
+    float(sum_fn(enc))
     dt = (time.perf_counter() - t0) / args.iters
     frames = batch * int(mel1.shape[-1])
     results["c2_encoder_only"] = {
