@@ -25,8 +25,21 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+import os
+
 from asr_model_tpu.models import tlayers
 from asr_model_tpu.models.stochastic import gumbel_softmax
+
+# PALLAS_ABBY: "on" forces the fused AbbyNormal tail everywhere
+# (interpreter on CPU — tests), "off" disables it, unset routes it on
+# TPU only.
+_PALLAS_ABBY = os.environ.get("PALLAS_ABBY", "auto").lower()
+
+
+def _pallas_abby_enabled() -> bool:
+    if _PALLAS_ABBY == "off":
+        return False
+    return _PALLAS_ABBY == "on" or jax.default_backend() == "tpu"
 
 
 def window_reduce_last(x, size: int, kind: str):
@@ -72,15 +85,31 @@ class AbbyNormal(nn.Module):
         if size % 2 == 0:
             size += 1
 
-        div = x * x
         h = tlayers.Dense(self.dims, self.dims, name="router_in")(x)
         logits = tlayers.Dense(3, self.dims, name="router_out")(nn.silu(h))
 
+        rng = self.make_rng("gumbel") if self.has_rng("gumbel") else None
+
+        # decode hot path: everything after the router matmuls fused
+        # into one Pallas program (ops/pallas/abby_kernel.py) — the
+        # stats, hard routing, both sliding-window channel reductions,
+        # and the normalizer.  Eval-only (rng=None makes the routing a
+        # deterministic argmax); prefix-sized inputs (VMEM-resident).
+        if rng is None and confidence is None \
+                and x.size <= 400_000 and _pallas_abby_enabled():
+            from asr_model_tpu.ops.pallas.abby_kernel import fused_abby_tail
+
+            out = fused_abby_tail(
+                x.reshape(-1, d), logits.reshape(-1, 3), size=size,
+                alpha=self.alpha, k=self.k, beta=self.beta,
+                interpret=jax.default_backend() != "tpu")
+            return out.reshape(x.shape)
+
+        div = x * x
         mean_val = jnp.mean(jnp.abs(x), axis=-1, keepdims=True)
         std_val = jnp.std(x, axis=-1, keepdims=True, ddof=1)
         cv = std_val / (mean_val + 1e-6)
 
-        rng = self.make_rng("gumbel") if self.has_rng("gumbel") else None
         decisions = gumbel_softmax(rng, logits + cv, tau=1.0, hard=True)
 
         avg_d = window_reduce_last(div, size, "mean")

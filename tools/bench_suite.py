@@ -197,9 +197,14 @@ def main():
     }
     print("c4", results["c4_longform"], flush=True)
 
+    def de_np(o):
+        if isinstance(o, dict):
+            return {k: de_np(v) for k, v in o.items()}
+        return float(o) if hasattr(o, "item") else o
+
     out = os.path.join(REPO, "docs", "BENCH_SUITE_r2.json")
     with open(out, "w") as f:
-        json.dump(results, f, indent=2)
+        json.dump(de_np(results), f, indent=2)
     print("wrote", out)
 
 
