@@ -95,7 +95,9 @@ class AbbyNormal(nn.Module):
         # stats, hard routing, both sliding-window channel reductions,
         # and the normalizer.  Eval-only (rng=None makes the routing a
         # deterministic argmax); prefix-sized inputs (VMEM-resident).
-        if rng is None and confidence is None \
+        # d % 128: Mosaic's dynamic lane rotate (the sliding windows)
+        # requires lane-aligned vectors — tiny configs fall back to XLA
+        if rng is None and confidence is None and d % 128 == 0 \
                 and x.size <= 400_000 and _pallas_abby_enabled():
             from asr_model_tpu.ops.pallas.abby_kernel import fused_abby_tail
 

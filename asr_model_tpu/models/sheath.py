@@ -229,7 +229,8 @@ class MSheath(nn.Module):
         # cross-KV precompute, N ~ batch*1000 frames) stay on XLA —
         # they are matmul-shaped and not dispatch-bound.
         if keys is None and not streaming and not self.mini_hc \
-                and x.size <= 400_000 and _pallas_sheath_enabled():
+                and d % 128 == 0 and x.size <= 400_000 \
+                and _pallas_sheath_enabled():
             x, jstat, actions = self._fused_scan(x, valid, policy_mean)
         else:
             x, jstat, actions = self._xla_scan(

@@ -133,7 +133,7 @@ def test_fused_sheath_scan_matches_xla(use_valid, monkeypatch):
     from asr_model_tpu.models.sheath import MSheath
 
     rng = np.random.RandomState(0)
-    B, T, D = 2, 6, 64
+    B, T, D = 2, 6, 128                     # D lane-aligned: kernel gate
     m = MSheath(dims=D, head=2, layer=4)
     x = jnp.asarray(rng.randn(B, T, D), jnp.float32)
     valid = jnp.asarray([[1, 1, 1, 1, 0, 0], [1] * 6], bool) \
@@ -160,7 +160,7 @@ def test_fused_sheath_scan_bf16(monkeypatch):
     from asr_model_tpu.models.sheath import MSheath
 
     rng = np.random.RandomState(1)
-    B, T, D = 2, 5, 64
+    B, T, D = 2, 5, 128                     # D lane-aligned: kernel gate
     m = MSheath(dims=D, head=2, layer=4)
     x32 = jnp.asarray(rng.randn(B, T, D), jnp.float32)
     variables = m.init({"params": jax.random.key(0)}, x32)
@@ -179,8 +179,8 @@ def test_fused_sheath_scan_bf16(monkeypatch):
                                atol=5e-2, rtol=5e-2)
 
 
-@pytest.mark.parametrize("D,shape", [(64, (2, 6, 64)),
-                                     (128, (2, 4, 5, 128))])
+@pytest.mark.parametrize("D,shape", [(128, (2, 6, 128)),
+                                     (256, (2, 4, 5, 256))])
 def test_fused_abby_tail_matches_xla(D, shape, monkeypatch):
     """The fused AbbyNormal tail (stats + hard routing + windowed
     channel reductions + normalizer) must match the XLA path at eval,
