@@ -179,3 +179,80 @@ def test_load_wave_flac_equals_wav_twin(tmp_path):
     ww, sr_w = load_wave(wpath)
     assert sr_f == sr_w == 16000
     np.testing.assert_array_equal(wf, ww)
+
+
+def test_native_flac_rejects_garbage_without_crashing():
+    """Malformed input must fail cleanly (error code / RuntimeError),
+    never crash the process — the native decoder guards the L0 path."""
+    import ctypes
+
+    lib = native.load("flac")
+    assert lib is not None
+    rng = np.random.RandomState(0)
+    cases = [
+        b"",                                     # empty
+        b"fLaC",                                 # magic only
+        b"RIFF" + b"\x00" * 64,                  # wrong container
+        rng.bytes(256),                          # random noise
+        b"fLaC" + rng.bytes(512),                # magic + noise
+    ]
+    for raw in cases:
+        sr = ctypes.c_int()
+        ch = ctypes.c_int()
+        bps = ctypes.c_int()
+        tot = ctypes.c_longlong()
+        rc = lib.flac_info(raw, len(raw), ctypes.byref(sr),
+                           ctypes.byref(ch), ctypes.byref(bps),
+                           ctypes.byref(tot))
+        if rc == 0:
+            out = np.empty(1 << 16, dtype=np.int32)
+            got = lib.flac_decode(
+                raw, len(raw),
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                out.size)
+            assert got <= 0, "garbage stream decoded frames"
+
+
+def test_native_flac_truncated_stream(tmp_path):
+    """A valid header with a truncated frame section must not crash
+    (and must not report success past the available data)."""
+    from tools.flac_encoder import encode_flac
+
+    sr = 16000
+    x = (np.sin(2 * np.pi * 220 * np.arange(sr // 4) / sr)
+         * 20000).astype(np.int16)
+    raw = encode_flac(x, sr)
+    import ctypes
+    lib = native.load("flac")
+    sr_ = ctypes.c_int()
+    ch = ctypes.c_int()
+    bps_ = ctypes.c_int()
+    tot = ctypes.c_longlong()
+    for cut in (len(raw) // 2, len(raw) - 7, 30):
+        trunc = raw[:cut]
+        rc = lib.flac_info(trunc, len(trunc), ctypes.byref(sr_),
+                           ctypes.byref(ch), ctypes.byref(bps_),
+                           ctypes.byref(tot))
+        if rc != 0:
+            continue
+        out = np.empty(max(int(tot.value), 1) * 2 + 65536, np.int32)
+        lib.flac_decode(trunc, len(trunc),
+                        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                        out.size)        # must simply not crash
+
+
+def test_native_bpe_malformed_utf8_no_crash():
+    """Truncated multi-byte UTF-8 at end of input must not read out of
+    bounds (regression: ADVICE r1, utf8_split clamp)."""
+    from asr_model_tpu.data.tokenizer import setup_tokenizer
+
+    tok = setup_tokenizer(os.path.join(
+        os.path.dirname(__file__), "..", "asr_model_tpu", "assets",
+        "tokenizer.json"))
+    for bad in (b"\xe4\xb8", b"hello \xf0\x9f\x98", b"\xc3"):
+        s = bad.decode("utf-8", errors="surrogateescape")
+        try:
+            ids = tok.encode(s)
+            assert isinstance(ids, list)
+        except (UnicodeError, ValueError):
+            pass                          # clean rejection is fine
