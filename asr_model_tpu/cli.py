@@ -59,6 +59,9 @@ def build_argparser() -> argparse.ArgumentParser:
                         "sharding)")
     p.add_argument("--mesh-seq", type=int, default=1,
                    help="sequence-parallel mesh axis size")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize the forward in the backward "
+                        "(jax.checkpoint) — fits larger batches in HBM")
     return p
 
 
@@ -120,7 +123,7 @@ def main(argv=None):
                       checkpoint_dir=args.checkpoint_dir or log_dir,
                       log_dir=log_dir, generate=args.generate,
                       mesh_data=args.mesh_data, mesh_model=args.mesh_model,
-                      mesh_seq=args.mesh_seq))
+                      mesh_seq=args.mesh_seq, remat=args.remat))
 
     n_mesh = args.mesh_data * args.mesh_model * args.mesh_seq
     if n_mesh > 1:

@@ -74,13 +74,20 @@ def make_optimizer(cfg: Config, params):
     return tx, sched
 
 
-def make_train_step(model: Model, tx, clip_grad_norm: float = 0.0):
+def make_train_step(model: Model, tx, clip_grad_norm: float = 0.0,
+                    remat: bool = False):
     """Build the single jitted train step.
 
     Returns (params, opt_state, batch_stats, rng, loss, gnorm, jstat):
     jstat is the summed MSheath jump-action counter (3,) for the
     Jumps/* scalars — the reference intends this but its counter name
-    mismatch means it never fires (SURVEY §5.5)."""
+    mismatch means it never fires (SURVEY §5.5).
+
+    ``remat=True`` wraps the loss in ``jax.checkpoint`` (save only
+    matmul outputs, recompute the rest in the backward): measured on
+    the v5e flagship at TF=1001, the un-remat'd step OOMs HBM at
+    batch 16 (19.2 GB needed, 15.75 GB available), while remat trades
+    a recomputed forward for fitting larger batches."""
 
     def step_fn(params, opt_state, batch_stats, rng, batch):
         rng, gumbel, drop = jax.random.split(rng, 3)
@@ -104,8 +111,13 @@ def make_train_step(model: Model, tx, clip_grad_norm: float = 0.0):
                      else jnp.zeros(3, jnp.int32))
             return out["loss"], (mut["batch_stats"], jstat)
 
+        grad_target = loss_fn
+        if remat:
+            grad_target = jax.checkpoint(
+                loss_fn,
+                policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
         (loss, (new_bs, jstat)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(params)
+            grad_target, has_aux=True)(params)
         gsq = sum(jnp.sum(g.astype(jnp.float32) ** 2)
                   for g in jax.tree.leaves(grads))
         gnorm = jnp.sqrt(gsq)
@@ -289,7 +301,8 @@ def train_and_evaluate(
         logger.info("training on mesh data:%d x model:%d x seq:%d",
                     run.mesh_data, run.mesh_model, run.mesh_seq)
 
-    train_step = make_train_step(model, tx, run.clip_grad_norm)
+    train_step = make_train_step(model, tx, run.clip_grad_norm,
+                                 remat=getattr(run, "remat", False))
     eval_step = make_eval_step(model)
     grad_diag = make_grad_diagnostics(model) if log_detail else None
 

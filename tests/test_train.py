@@ -122,3 +122,47 @@ def test_evaluate_model_standalone(trained):
     assert set(res) >= {"loss", "wer", "preds", "labels", "eval_time"}
     assert np.isfinite(res["loss"])
     assert isinstance(res["preds"][0], str)
+
+
+def test_remat_train_step_matches_plain():
+    """jax.checkpoint rematerialization must not change the step's
+    numerics: identical loss/gnorm and near-identical params after one
+    step (RunConfig.remat / --remat)."""
+    import jax
+    import jax.numpy as jnp
+
+    from asr_model_tpu.config import Config, Dimensions, ModelConfig
+    from asr_model_tpu.models.model import Model
+    from asr_model_tpu.train.loop import make_optimizer, make_train_step
+
+    dims = Dimensions(tokens=32, mels=8, dims=16, head=2, layer=2)
+    model = Model(param=dims, cfg=ModelConfig(dims=dims))
+    rng = np.random.RandomState(0)
+    batch = {
+        "text_ids": jnp.asarray(rng.randint(3, 32, (2, 6)), jnp.int32),
+        "labels": jnp.asarray(rng.randint(3, 32, (2, 6)), jnp.int32),
+        "spectrogram": jnp.asarray(rng.randn(2, 8, 32), jnp.float32),
+    }
+    variables = jax.jit(lambda r: model.init(
+        {"params": r, "gumbel": r}, batch["text_ids"],
+        labels=batch["labels"], spectrogram=batch["spectrogram"]))(
+            jax.random.key(0))
+    cfg = Config(model=ModelConfig(dims=dims))
+    tx, _ = make_optimizer(cfg, variables["params"])
+
+    outs = {}
+    for remat in (False, True):
+        # fresh copies: the jitted step donates params/opt_state/stats
+        params = jax.tree.map(jnp.array, variables["params"])
+        bs = jax.tree.map(jnp.array, variables.get("batch_stats", {}))
+        opt_state = tx.init(params)
+        step = make_train_step(model, tx, remat=remat)
+        p2, _, _, _, loss, gnorm, _ = step(
+            params, opt_state, bs, jax.random.key(1), batch)
+        outs[remat] = (float(loss), float(gnorm),
+                       jax.tree.map(np.asarray, p2))
+    assert outs[False][0] == pytest.approx(outs[True][0], rel=1e-6)
+    assert outs[False][1] == pytest.approx(outs[True][1], rel=1e-5)
+    for a, b in zip(jax.tree.leaves(outs[False][2]),
+                    jax.tree.leaves(outs[True][2])):
+        np.testing.assert_allclose(a, b, atol=1e-6, rtol=1e-5)

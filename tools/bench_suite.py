@@ -36,6 +36,13 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--train-scaling", type=str, default="",
+                    help="comma-separated batch sizes; measures ONLY "
+                         "the train step at each (BASELINE config #5 "
+                         "single-chip scaling curve)")
+    ap.add_argument("--remat", action="store_true",
+                    help="rematerialized train step (jax.checkpoint) "
+                         "for the scaling curve")
     args = ap.parse_args()
 
     import jax
@@ -90,6 +97,51 @@ def main():
                            jnp.ones((1, 4), jnp.int32),
                            spectrogram=mel1, pitch=f01, waveform=wav1)
     bf16_vars = cast_variables(variables)
+
+    if args.train_scaling:
+        from asr_model_tpu.config import Config
+        from asr_model_tpu.train.loop import (make_optimizer,
+                                              make_train_step)
+
+        cfg = Config(model=ModelConfig(dims=dims))
+        tx, _ = make_optimizer(cfg, variables["params"])
+        step_fn = make_train_step(model, tx, remat=args.remat)
+        scaling = {}
+        for b in [int(s) for s in args.train_scaling.split(",")]:
+            ab = jnp.asarray(make_audio(b, 10.0))
+            melb = jnp.asarray(np.asarray(frontend(ab)[0], np.float32))
+            text = jnp.asarray(np.random.RandomState(1).randint(
+                3, dims.tokens, (b, 48)), jnp.int32)
+            batch_d = {"text_ids": text, "labels": text,
+                       "spectrogram": melb}
+            params = variables["params"]
+            bs = variables.get("batch_stats", {})
+            opt_state = tx.init(params)
+            rng = jax.random.key(0)
+            params, opt_state, bs, rng, loss, gn, _ = step_fn(
+                params, opt_state, bs, rng, batch_d)
+            float(loss)                         # compile + sync
+            t0 = time.perf_counter()
+            for _ in range(args.iters):
+                params, opt_state, bs, rng, loss, gn, _ = step_fn(
+                    params, opt_state, bs, rng, batch_d)
+            float(loss)
+            dt = (time.perf_counter() - t0) / args.iters
+            scaling[f"B={b}"] = {
+                "ms_per_step": round(dt * 1e3, 1),
+                "samples_per_sec": round(b / dt, 1),
+                "audio_sec_per_sec": round(b * 10.0 / dt, 1),
+            }
+            print(f"train B={b}", scaling[f"B={b}"], flush=True)
+        out = os.path.join(REPO, "docs", "BENCH_TRAIN_SCALING.json")
+        with open(out, "w") as f:
+            json.dump({"hardware": results["hardware"],
+                       "workload": "TF=1001 spectrogram, T=48 text, "
+                                   "fwd+bwd+MaxFactor, f32",
+                       "remat": bool(args.remat),
+                       "scaling": scaling}, f, indent=2)
+        print("wrote", out)
+        return
 
     # ------------------------------------------------ #1 single-utt p50
     def transcribe1(audio):
