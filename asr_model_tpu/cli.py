@@ -62,6 +62,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--remat", action="store_true",
                    help="rematerialize the forward in the backward "
                         "(jax.checkpoint) — fits larger batches in HBM")
+    p.add_argument("--remat-policy", type=str, default="dots",
+                   choices=["dots", "full"],
+                   help="remat save policy: matmul outputs (dots) or "
+                        "nothing (full)")
     return p
 
 
@@ -123,7 +127,8 @@ def main(argv=None):
                       checkpoint_dir=args.checkpoint_dir or log_dir,
                       log_dir=log_dir, generate=args.generate,
                       mesh_data=args.mesh_data, mesh_model=args.mesh_model,
-                      mesh_seq=args.mesh_seq, remat=args.remat))
+                      mesh_seq=args.mesh_seq, remat=args.remat,
+                      remat_policy=args.remat_policy))
 
     n_mesh = args.mesh_data * args.mesh_model * args.mesh_seq
     if n_mesh > 1:

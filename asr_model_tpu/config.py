@@ -137,9 +137,11 @@ class RunConfig:
     log_dir: str = "./logs"
     generate: bool = False       # free-running vs teacher-forced eval WER
     clip_grad_norm: float = 0.0
-    # rematerialize the forward in the backward (jax.checkpoint, matmul
-    # outputs saved): needed past batch ~12 at TF=1001 on a 16 GB chip
+    # rematerialize the forward in the backward (jax.checkpoint):
+    # needed past batch ~12 at TF=1001 on a 16 GB chip.  Policy
+    # "dots" saves matmul outputs; "full" saves nothing (big batches)
     remat: bool = False
+    remat_policy: str = "dots"
     max_new_tokens: int = 150
     seed: int = 0
     # mesh axes sizes; 1 = disabled. data*model*seq must divide device count.

@@ -34,6 +34,7 @@ paths, ReLU — the reference's einsum shapes are broken (model.py:372).
 
 from __future__ import annotations
 
+import contextlib
 import math
 import os
 from typing import Optional, Tuple
@@ -55,6 +56,25 @@ def _linear_init(fan_in):
 # PALLAS_SHEATH: "on" forces the fused scan everywhere (interpreter on
 # CPU — tests), "off" disables it, unset routes it on TPU only.
 _PALLAS_SHEATH = os.environ.get("PALLAS_SHEATH", "auto").lower()
+
+# Trace-time flag: while active, the layer-slot scan wraps its body in
+# jax.checkpoint so the backward recomputes each slot instead of
+# saving per-slot residuals.  The xa-side scans run at encoder length
+# (B, ~1000, D): their saved residuals are the train step's HBM hog —
+# wrapping the WHOLE loss in jax.checkpoint does not help, because the
+# backward's own scan re-saves per-step residuals during the
+# recomputation; the body is where the checkpoint must live.
+# (See train/loop.py:make_train_step(remat=...).)
+_SCAN_REMAT = [False]
+
+
+@contextlib.contextmanager
+def scan_remat():
+    _SCAN_REMAT[0] = True
+    try:
+        yield
+    finally:
+        _SCAN_REMAT[0] = False
 
 
 def _pallas_sheath_enabled() -> bool:
@@ -342,6 +362,7 @@ class MSheath(nn.Module):
 
         init = (x, mem_w0, jnp.asarray(0, jnp.int32),
                 jnp.zeros(3, jnp.int32))
+        body_fn = jax.checkpoint(body) if _SCAN_REMAT[0] else body
         (x, mem_w, _, jstat), actions = jax.lax.scan(
-            body, init, jnp.arange(L))
+            body_fn, init, jnp.arange(L))
         return x, jstat, actions

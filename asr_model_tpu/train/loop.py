@@ -75,7 +75,7 @@ def make_optimizer(cfg: Config, params):
 
 
 def make_train_step(model: Model, tx, clip_grad_norm: float = 0.0,
-                    remat: bool = False):
+                    remat: bool = False, remat_policy: str = "dots"):
     """Build the single jitted train step.
 
     Returns (params, opt_state, batch_stats, rng, loss, gnorm, jstat):
@@ -113,11 +113,27 @@ def make_train_step(model: Model, tx, clip_grad_norm: float = 0.0,
 
         grad_target = loss_fn
         if remat:
-            grad_target = jax.checkpoint(
-                loss_fn,
-                policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
-        (loss, (new_bs, jstat)), grads = jax.value_and_grad(
-            grad_target, has_aux=True)(params)
+            # "dots": matmul outputs saved, elementwise recomputed;
+            # "full": nothing saved — minimum memory, most recompute.
+            if remat_policy == "full":
+                grad_target = jax.checkpoint(loss_fn)
+            else:
+                grad_target = jax.checkpoint(
+                    loss_fn,
+                    policy=jax.checkpoint_policies
+                    .dots_with_no_batch_dims_saveable)
+        # the real HBM hog is per-slot residuals of the MSheath scans
+        # at encoder length — wrapping the loss alone does NOT shed
+        # them (the backward's recompute re-saves them); the scan BODY
+        # must be checkpointed (models/sheath.py:scan_remat), trace-
+        # time context active while value_and_grad traces
+        import contextlib
+
+        from asr_model_tpu.models.sheath import scan_remat
+        ctx = scan_remat() if remat else contextlib.nullcontext()
+        with ctx:
+            (loss, (new_bs, jstat)), grads = jax.value_and_grad(
+                grad_target, has_aux=True)(params)
         gsq = sum(jnp.sum(g.astype(jnp.float32) ** 2)
                   for g in jax.tree.leaves(grads))
         gnorm = jnp.sqrt(gsq)
@@ -301,8 +317,10 @@ def train_and_evaluate(
         logger.info("training on mesh data:%d x model:%d x seq:%d",
                     run.mesh_data, run.mesh_model, run.mesh_seq)
 
-    train_step = make_train_step(model, tx, run.clip_grad_norm,
-                                 remat=getattr(run, "remat", False))
+    train_step = make_train_step(
+        model, tx, run.clip_grad_norm,
+        remat=getattr(run, "remat", False),
+        remat_policy=getattr(run, "remat_policy", "dots"))
     eval_step = make_eval_step(model)
     grad_diag = make_grad_diagnostics(model) if log_detail else None
 

@@ -43,6 +43,8 @@ def main():
     ap.add_argument("--remat", action="store_true",
                     help="rematerialized train step (jax.checkpoint) "
                          "for the scaling curve")
+    ap.add_argument("--remat-policy", type=str, default="dots",
+                    choices=["dots", "full"])
     args = ap.parse_args()
 
     import jax
@@ -105,7 +107,8 @@ def main():
 
         cfg = Config(model=ModelConfig(dims=dims))
         tx, _ = make_optimizer(cfg, variables["params"])
-        step_fn = make_train_step(model, tx, remat=args.remat)
+        step_fn = make_train_step(model, tx, remat=args.remat,
+                                  remat_policy=args.remat_policy)
         scaling = {}
         for b in [int(s) for s in args.train_scaling.split(",")]:
             ab = jnp.asarray(make_audio(b, 10.0))
@@ -139,6 +142,7 @@ def main():
                        "workload": "TF=1001 spectrogram, T=48 text, "
                                    "fwd+bwd+MaxFactor, f32",
                        "remat": bool(args.remat),
+                       "remat_policy": args.remat_policy,
                        "scaling": scaling}, f, indent=2)
         print("wrote", out)
         return
