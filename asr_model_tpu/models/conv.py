@@ -107,10 +107,10 @@ class TransformerEncoderLayer(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         a = nn.SelfAttention(num_heads=self.head, deterministic=True)(x)
-        x = nn.LayerNorm()(x + a)
+        x = nn.LayerNorm(epsilon=1e-5)(x + a)
         h = tlayers.Dense(2048, self.dims)(x)
         h = tlayers.Dense(self.dims, 2048)(nn.relu(h))
-        return nn.LayerNorm()(x + h)
+        return nn.LayerNorm(epsilon=1e-5)(x + h)
 
 
 class AudioEncoder(nn.Module):
@@ -144,7 +144,10 @@ class AudioEncoder(nn.Module):
             blocks.append({
                 "wn": WeightNormConv1d(self.dims, self.dims, 3,
                                        name=f"enc{i}_wn"),
-                "ln": nn.LayerNorm(name=f"enc{i}_ln"),
+                # torch LayerNorm eps (essentials.py:102-113); flax
+                # defaults to 1e-6, which is a measurable (~1e-3)
+                # parity skew through the conv stack
+                "ln": nn.LayerNorm(epsilon=1e-5, name=f"enc{i}_ln"),
                 "convlite": ConvLite(self.dims, 15, self.dropout,
                                      name=f"enc{i}_convlite"),
                 "dw": tlayers.Conv1d(self.dims, self.dims, 3,

@@ -50,9 +50,23 @@ def wideband_freqs(dims: int, head: int, max_freq: float = 8000.0) -> np.ndarray
 
 
 def compute_freqs(dims: int, head: int, causal: bool,
-                  theta: float = THETA) -> np.ndarray:
-    """Per-channel angular frequency ladder, shape (head_dim//2,)."""
+                  theta: float = THETA,
+                  dtype=np.float32) -> np.ndarray:
+    """Per-channel angular frequency ladder, shape (head_dim//2,).
+
+    ``dtype=np.float64`` reproduces the reference's float64 arithmetic
+    exactly (used by the float64 parity golden, which pins the torch
+    quirk of taking ``log`` of an f32 theta tensor, model.py:196); the
+    default float32 path is the production ladder."""
     head_dim = dims // head
+    if np.dtype(dtype) == np.float64:
+        if not causal:
+            lin = np.linspace(0.0, 1.0, head_dim // 2)
+            g = (8000.0 / 200.0) ** lin * 200.0 / 1000.0
+            return 200.0 * g / 1000.0
+        idx = np.arange(0, head_dim, 2, dtype=np.float64)
+        log_theta = float(np.log(np.float32(theta), dtype=np.float32))
+        return idx / head_dim * log_theta
     if not causal:
         return (200.0 * gammatone_freqs(dims, head) / 1000.0).astype(np.float32)
     idx = np.arange(0, head_dim, 2, dtype=np.float32)
@@ -75,9 +89,14 @@ class Rotary(nn.Module):
         self.param("lin_kernel", nn.initializers.zeros, (self.dims, half))
         self.param("lin_bias", nn.initializers.zeros, (half,))
 
-        t = jnp.arange(x.shape[2], dtype=jnp.float32)
-        freqs = jnp.asarray(compute_freqs(self.dims, self.head, causal,
-                                          self.theta))
+        # float64 inputs (x64 parity mode) keep the angle computation in
+        # float64 like the reference's global-dtype torch path does
+        f64 = x.dtype == jnp.float64
+        t = jnp.arange(x.shape[2],
+                       dtype=jnp.float64 if f64 else jnp.float32)
+        freqs = jnp.asarray(compute_freqs(
+            self.dims, self.head, causal, self.theta,
+            dtype=np.float64 if f64 else np.float32))
         f = t[:, None] * freqs[None, :]                      # (T, half)
 
         # magnitude from the conditioning tensor: (B, T, 1) -> (B,1,T,1)

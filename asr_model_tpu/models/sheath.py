@@ -337,7 +337,9 @@ class MSheath(nn.Module):
             forced = (potential < 0.1) & ~last
             key = keys[step] if keys is not None else None
             jump = gumbel_softmax(key, policy_mean, tau=1.0, hard=True)
-            sampled = jnp.argmax(jump, axis=-1)
+            # int32 even under x64 (argmax yields int64 there, which
+            # would change the scan carry dtype)
+            sampled = jnp.argmax(jump, axis=-1).astype(jnp.int32)
             action = jnp.where(last, 0, jnp.where(forced, 1, sampled))
             jump_g = jnp.where(forced | last, 1.0,
                                jnp.take(jump, sampled))

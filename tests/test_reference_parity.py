@@ -1,0 +1,137 @@
+"""End-to-end numerical parity against the ACTUAL reference model.
+
+tests/golden/reference_parity.npz (tools/gen_golden_parity.py) holds
+the reference Model's state_dict plus its forward logits/loss
+(model.py:654-672) and greedy-decode tokens (model.py:674-701) on
+fixed inputs, computed by running /root/reference/model.py on CPU
+torch with gumbel noise pinned to its noise-free limit (the one
+variable that cannot be matched across RNG streams — see the
+generator's docstring).
+
+These tests transplant the state_dict through
+asr_model_tpu.compat.convert_state_dict and assert the whole stack —
+conv encoder, signal-adaptive rotary, per-component AbbyNormal norms,
+MSheath layer recurrence + jump control flow, router/tgate, the
+a/b/c/d/e/f/g block dataflow, blend head, weight-tied logits, CE
+ignore_index=0, and the KV-cached fixed-buffer greedy decode —
+reproduces the reference's numbers.  This converts every per-component
+parity argument in the module docstrings into one executable fact, and
+doubles as the test of the user-facing reference-checkpoint importer.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from asr_model_tpu.compat import convert_state_dict
+from asr_model_tpu.config import Config, Dimensions, ModelConfig
+from asr_model_tpu.models.generate import greedy_decode
+from asr_model_tpu.models.model import Model
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden",
+                      "reference_parity.npz")
+
+
+@pytest.fixture(scope="module")
+def golden():
+    return np.load(GOLDEN)
+
+
+@pytest.fixture(scope="module")
+def transplanted(golden):
+    g = golden
+    dims = Dimensions(tokens=int(g["cfg_tokens"]), mels=int(g["cfg_mels"]),
+                      dims=int(g["cfg_dims"]), head=int(g["cfg_head"]),
+                      layer=int(g["cfg_layer"]))
+    model = Model(param=dims, cfg=ModelConfig(dims=dims))
+    skeleton = jax.jit(lambda r: model.init(
+        {"params": r},
+        jnp.asarray(g["in_text_ids"], jnp.int32),
+        spectrogram=jnp.asarray(g["in_spectrogram"]),
+        pitch=jnp.asarray(g["in_pitch"]),
+        waveform=jnp.asarray(g["in_waveform"])))(jax.random.key(0))
+    sd = {k[3:]: g[k] for k in g.files if k.startswith("sd:")}
+    variables = convert_state_dict(sd, skeleton["params"],
+                                   skeleton.get("batch_stats"))
+    return model, variables
+
+
+def test_forward_logits_and_loss_match_reference(golden, transplanted):
+    model, variables = transplanted
+    g = golden
+    out = jax.jit(lambda v: model.apply(
+        v, jnp.asarray(g["in_text_ids"], jnp.int32),
+        labels=jnp.asarray(g["in_labels"], jnp.int32),
+        spectrogram=jnp.asarray(g["in_spectrogram"]),
+        pitch=jnp.asarray(g["in_pitch"]),
+        waveform=jnp.asarray(g["in_waveform"])))(variables)
+    ours = np.asarray(out["logits"])
+    ref = g["out_logits"]
+    assert ours.shape == ref.shape
+    scale = max(1.0, float(np.abs(ref).max()))
+    adiff = float(np.abs(ours - ref).max())
+    # f32 end to end on both sides: agreement is bounded by float32
+    # accumulation through the deep stack (the f64 test below pins the
+    # math itself to 1e-6)
+    assert adiff / scale < 2e-4, (
+        f"logits rel diff {adiff / scale:.2e} (abs {adiff:.2e}, "
+        f"ref scale {scale:.1f})")
+    assert abs(float(out["loss"]) - float(g["out_loss"])) \
+        / max(1.0, abs(float(g["out_loss"]))) < 1e-4
+
+
+def test_forward_matches_reference_float64(golden, transplanted):
+    """Exact-math parity: the same transplant run in float64 on both
+    sides (the golden's f64 pass flips the reference's global compute
+    dtype) must agree to ~f32-ulp — proving the 3e-5-level residual of
+    the f32 test is accumulation noise, not a math difference."""
+    model, variables = transplanted
+    g = golden
+    with jax.enable_x64(True):
+        v64 = jax.tree.map(
+            lambda x: jnp.asarray(
+                x, jnp.float64 if np.asarray(x).dtype == np.float32
+                else None), variables)
+        out = model.apply(
+            v64, jnp.asarray(g["in_text_ids"], jnp.int32),
+            labels=jnp.asarray(g["in_labels"], jnp.int32),
+            spectrogram=jnp.asarray(g["in_spectrogram"], jnp.float64),
+            pitch=jnp.asarray(g["in_pitch"], jnp.float64),
+            waveform=jnp.asarray(g["in_waveform"], jnp.float64))
+        ours = np.asarray(out["logits"])
+        loss = float(out["loss"])
+    ref = g["out_logits64"]  # f32-cast of f64 math on both sides
+    scale = max(1.0, float(np.abs(ref).max()))
+    adiff = float(np.abs(ours - ref).max())
+    assert adiff / scale < 1e-6, (
+        f"x64 logits rel diff {adiff / scale:.2e} (abs {adiff:.2e})")
+    assert abs(loss - float(g["out_loss64"])) \
+        / max(1.0, abs(float(g["out_loss64"]))) < 1e-5
+
+
+def test_greedy_decode_tokens_match_reference(golden, transplanted):
+    model, variables = transplanted
+    g = golden
+    ids = greedy_decode(model, variables,
+                        spectrogram=jnp.asarray(g["in_spectrogram"]),
+                        pitch=jnp.asarray(g["in_pitch"]),
+                        waveform=jnp.asarray(g["in_waveform"]),
+                        max_new_tokens=int(g["max_new_tokens"]))
+    ours = np.asarray(ids)[0]
+    ref = g["out_generate"][0]
+    # the reference appends until all-EOS; ours is a fixed buffer with
+    # PAD after EOS — compare over the reference's emitted length
+    assert ours[:len(ref)].tolist() == ref.tolist()
+
+
+def test_converter_rejects_incomplete_state_dict(golden, transplanted):
+    model, variables = transplanted
+    g = golden
+    sd = {k[3:]: g[k] for k in g.files if k.startswith("sd:")}
+    sd.pop("processor.position")
+    with pytest.raises(KeyError):
+        convert_state_dict(sd, variables["params"])

@@ -59,8 +59,15 @@ def _install_stubs():
             return self.get(key)
 
         def apply(self, fn):
-            return TensorDict({k: fn(v) for k, v in self.items()},
-                              self.batch_size)
+            # real tensordict drops entries whose fn returns None —
+            # no_none (essentials.py:32-33) relies on this to strip
+            # the 'pt': None slot before the encoder runs
+            out = {}
+            for k, v in self.items():
+                r = fn(v) if v is not None else None
+                if r is not None:
+                    out[k] = r
+            return TensorDict(out, self.batch_size)
 
         def clone(self):
             return TensorDict(
