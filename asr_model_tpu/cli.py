@@ -45,7 +45,19 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--act", type=str, default="gelu")
     p.add_argument("--n-type", type=str, default="AbbyNormal")
     p.add_argument("--chained-blocks", action="store_true")
+    p.add_argument("--streaming", action="store_true",
+                   help="streaming-causal decoder variant: every "
+                        "text-side path is prefix-causal, so "
+                        "teacher-forced training matches free-running "
+                        "decode (the route to real WER; config.py:67)")
+    p.add_argument("--causal-all", action="store_true",
+                   help="causal mask on every decoder self-attention "
+                        "(implied by --streaming)")
     p.add_argument("--pitch-tokens", action="store_true")
+    p.add_argument("--pitch-estimator", type=str, default="dio",
+                   choices=["dio", "yin"],
+                   help="F0 algorithm for the pitch modality, used by "
+                        "BOTH training features and serving frontends")
     p.add_argument("--no-pitch", action="store_true")
     p.add_argument("--no-waveform", action="store_true")
     p.add_argument("--pad-multiple", type=int, default=128,
@@ -104,6 +116,7 @@ def main(argv=None):
         "pitch": not args.no_pitch,
         "waveform": not args.no_waveform,
         "pitch_tokens": args.pitch_tokens,
+        "pitch_estimator": args.pitch_estimator,
         "harmonics": False,
         "aperiodics": False,
         "hop_length": 160,
@@ -115,7 +128,9 @@ def main(argv=None):
                       head=args.head, layer=args.layer, act=args.act,
                       n_type=args.n_type)
     cfg = Config(
-        model=ModelConfig(dims=dims, chained_blocks=args.chained_blocks),
+        model=ModelConfig(dims=dims, chained_blocks=args.chained_blocks,
+                          streaming=args.streaming,
+                          causal_all=args.causal_all),
         data=DataConfig(**{k: v for k, v in extract_args.items()
                            if k in DataConfig.__dataclass_fields__}),
         optim=OptimConfig(lr=args.lr, warmup_steps=args.warmup_steps,

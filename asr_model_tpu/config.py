@@ -90,6 +90,12 @@ class DataConfig:
     hop_length: int = 160
     sample_rate: int = 16000
     mels: int = 128
+    # F0 algorithm for the pitch modality, shared by training features
+    # AND the serving frontends (Transcriber/longform) so a model is
+    # served the features it trained on: "dio" (native DIO+StoneMask,
+    # the reference's pyworld pair, essentials.py:451-455) or "yin"
+    # (jittable on-device estimator).
+    pitch_estimator: str = "dio"
     n_fft: int = 1024
     f_min: float = 50.0
     f_max: float = 8000.0

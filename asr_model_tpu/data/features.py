@@ -147,6 +147,7 @@ def extract_features(batch: Dict[str, Any], tokenizer=None,
                      hilbert: bool = False, pitch_tokens: bool = False,
                      hop_length: int = 160, sample_rate: int = 16000,
                      mels: int = 128, mode: str = "mean",
+                     pitch_estimator: str = "dio",
                      dummy_audio: bool = False,
                      dummy_text: bool = False) -> Dict[str, Any]:
     if dummy_text:
@@ -172,7 +173,8 @@ def extract_features(batch: Dict[str, Any], tokenizer=None,
         if aperiodics:
             out["aperiodic"] = a
     if pitch:
-        out["pitch"] = pitch_track(audio, sample_rate, hop_length)
+        out["pitch"] = pitch_track(audio, sample_rate, hop_length,
+                                   estimator=pitch_estimator)
     if phase:
         out["phase"] = phase_track(audio, sample_rate, hop_length)
     if spectrogram:

@@ -55,15 +55,19 @@ def chunk_audio(audio: np.ndarray, sample_rate: int = 16000,
 
 
 def _frontend(audio: jnp.ndarray, sample_rate: int, hop: int, mels: int,
-              dtype=jnp.float32):
+              dtype=jnp.float32, yin_pitch: bool = True):
     """Feature frontend for one chunk; ``dtype`` must match the
     variables' parameter dtype (bf16 inference mode casts params, so
-    features follow — mixed conv input/kernel dtypes are an error)."""
+    features follow — mixed conv input/kernel dtypes are an error).
+    ``yin_pitch=False`` skips the on-device F0 (the caller supplies
+    host DIO pitch instead, matching the train-time estimator)."""
     mel = log_mel_spectrogram(audio, sample_rate, 1024, hop, mels)
     wave = frame_rate_waveform(audio, sample_rate, hop)
+    T = mel.shape[-1]
+    if not yin_pitch:
+        return mel[None].astype(dtype), None, wave[None].astype(dtype)
     f0, _ = yin_f0(audio, fs=sample_rate,
                    frame_period=hop / sample_rate * 1000.0)
-    T = mel.shape[-1]
     f0 = jnp.pad(f0[None, :], ((0, 0), (0, max(T - f0.shape[-1], 0))))
     return (mel[None].astype(dtype), f0[None, :, :T].astype(dtype),
             wave[None].astype(dtype))
@@ -75,13 +79,25 @@ def _param_dtype(variables):
 
 @functools.lru_cache(maxsize=8)
 def _jit_frontend(sample_rate: int, hop: int, mels: int,
-                  dtype_name: str):
+                  dtype_name: str, yin_pitch: bool = True):
     """One jitted frontend per (sr, hop, mels, dtype) — a fresh
     ``jax.jit(lambda ...)`` per transcribe call would miss jax's C++
     fast path and re-trace on every call."""
     dtype = jnp.dtype(dtype_name)
     return jax.jit(
-        lambda a: _frontend(a, sample_rate, hop, mels, dtype))
+        lambda a: _frontend(a, sample_rate, hop, mels, dtype, yin_pitch))
+
+
+def _host_pitch(chunk: np.ndarray, sample_rate: int, hop: int, T: int,
+                dtype) -> jnp.ndarray:
+    """Host DIO+StoneMask pitch for one chunk — identical to the
+    train-time feature path (ops/pitch.pitch_track)."""
+    from asr_model_tpu.ops.pitch import pitch_track
+
+    f0 = pitch_track(np.asarray(chunk), sample_rate, hop,
+                     estimator="dio")
+    f0 = np.pad(f0, ((0, 0), (0, max(T - f0.shape[-1], 0))))[:, :T]
+    return jnp.asarray(f0[None], dtype)
 
 
 def transcribe_long(model: Model, variables, audio: np.ndarray,
@@ -89,17 +105,26 @@ def transcribe_long(model: Model, variables, audio: np.ndarray,
                     chunk_sec: float = 30.0, overlap_sec: float = 2.0,
                     max_new_tokens_per_chunk: int = 150,
                     carry_tokens: int = 8, hop: int = 160,
-                    use_pitch: bool = True, use_waveform: bool = True):
-    """Transcribe arbitrarily long audio.  Returns (ids, text?)."""
+                    use_pitch: bool = True, use_waveform: bool = True,
+                    pitch_estimator: str = "dio"):
+    """Transcribe arbitrarily long audio.  Returns (ids, text?).
+
+    ``pitch_estimator``: "dio" (host native DIO+StoneMask, matching
+    the train-time features) or "yin" (fully on-device frontend)."""
     mels = model.param.mels
     chunks = chunk_audio(audio, sample_rate, chunk_sec, overlap_sec)
+    yin = pitch_estimator == "yin"
     frontend = _jit_frontend(sample_rate, hop, mels,
-                             str(_param_dtype(variables)))
+                             str(_param_dtype(variables)),
+                             yin_pitch=use_pitch and yin)
 
     out_ids: List[int] = []
     prompt = np.zeros((0,), np.int32)
     for c in chunks:
         mel, pitch, wave = frontend(jnp.asarray(c))
+        if use_pitch and not yin:
+            pitch = _host_pitch(c, sample_rate, hop, mel.shape[-1],
+                                mel.dtype)
         ids = greedy_decode_prompted(
             model, variables, jnp.asarray(prompt[None]),
             spectrogram=mel,
@@ -122,7 +147,8 @@ def transcribe_long_sp(model: Model, variables, audio: np.ndarray,
                        mesh, tokenizer=None, sample_rate: int = 16000,
                        hop: int = 160, axis: str = "seq",
                        max_new_tokens: int = 600,
-                       use_pitch: bool = True, use_waveform: bool = True):
+                       use_pitch: bool = True, use_waveform: bool = True,
+                       pitch_estimator: str = "dio"):
     """Single-pass sequence-parallel long-form transcription
     (SURVEY §5.7 / §2.5 item 4 at scale): instead of chunking, the
     whole utterance is encoded time-sharded over the mesh's ``axis``
@@ -138,9 +164,15 @@ def transcribe_long_sp(model: Model, variables, audio: np.ndarray,
 
     mels = model.param.mels
     n = mesh.shape[axis]
+    yin = pitch_estimator == "yin"
     frontend = _jit_frontend(sample_rate, hop, mels,
-                             str(_param_dtype(variables)))
-    mel, pitch, wave = frontend(jnp.asarray(np.asarray(audio, np.float32)))
+                             str(_param_dtype(variables)),
+                             yin_pitch=use_pitch and yin)
+    audio_np = np.asarray(audio, np.float32)
+    mel, pitch, wave = frontend(jnp.asarray(audio_np))
+    if use_pitch and not yin:
+        pitch = _host_pitch(audio_np, sample_rate, hop, mel.shape[-1],
+                            mel.dtype)
 
     T = mel.shape[-1]
     halo = encoder_halo(model.param.layer)

@@ -193,10 +193,25 @@ def stonemask(x, f0, t, fs: int = 16000):
     return np.asarray(out, dtype=np.float64)
 
 
-def pitch_track(audio, sample_rate: int = 16000, hop_length: int = 160):
+def pitch_track(audio, sample_rate: int = 16000, hop_length: int = 160,
+                estimator: str = "dio"):
     """The reference's live pitch feature (essentials.py:451-455):
-    DIO + StoneMask at frame_period = hop/sr*1000 ms; returns (1, T)."""
+    DIO + StoneMask at frame_period = hop/sr*1000 ms; returns (1, T).
+
+    ``estimator`` selects the F0 algorithm — ``"dio"`` (native C++
+    DIO+StoneMask, the reference's pyworld pair) or ``"yin"`` (the
+    jittable on-device estimator).  Both train-time features
+    (data/features.py) and the serving frontends (transcribe.py,
+    models/longform.py) consume ``DataConfig.pitch_estimator``, so a
+    model is served the same pitch features it trained on."""
     frame_period = hop_length / sample_rate * 1000.0
+    if estimator == "yin":
+        import jax.numpy as jnp
+        f0, _t = yin_f0(jnp.asarray(audio, jnp.float32), fs=sample_rate,
+                        frame_period=frame_period)
+        return np.asarray(f0, dtype=np.float32)[None, :]
+    if estimator != "dio":
+        raise ValueError(f"unknown pitch estimator {estimator!r}")
     f0, t = dio(audio, sample_rate, frame_period)
     f0 = stonemask(audio, f0, t, sample_rate)
     return np.asarray(f0, dtype=np.float32)[None, :]

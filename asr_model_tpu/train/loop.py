@@ -259,6 +259,11 @@ def train_and_evaluate(
     """
     run = cfg.run
     os.makedirs(run.checkpoint_dir, exist_ok=True)
+    # persist the full config next to the checkpoints so
+    # Transcriber.from_checkpoint can rebuild the exact model
+    # (streaming/chained/modality flags) without the caller re-stating it
+    with open(os.path.join(run.checkpoint_dir, "config.json"), "w") as f:
+        f.write(cfg.to_json())
     if writer is None:
         try:
             from tensorboardX import SummaryWriter

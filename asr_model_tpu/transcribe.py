@@ -12,6 +12,7 @@ warm-compiled end-to-end transcriber covering BASELINE configs #1
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Union
 
 import numpy as np
@@ -34,7 +35,18 @@ class Transcriber:
     def __init__(self, model: Model, variables, tokenizer: Tokenizer,
                  sample_rate: int = 16000, hop: int = 160,
                  use_pitch: bool = True, use_waveform: bool = True,
-                 bf16: bool = True, max_new_tokens: int = 150):
+                 bf16: bool = True, max_new_tokens: int = 150,
+                 beam_size: int = 1, length_penalty: float = 1.0,
+                 pitch_estimator: str = "dio"):
+        """``beam_size > 1`` routes transcription through length-
+        normalized beam search (models/beam.py) — a capability the
+        reference lacks (SURVEY §1).
+
+        ``pitch_estimator`` must match the training features'
+        ``DataConfig.pitch_estimator`` (from_checkpoint wires it
+        automatically): "dio" computes F0 on the host with the native
+        DIO+StoneMask exactly like data/features.py; "yin" keeps the
+        frontend fully on-device."""
         self.model = model
         self.variables = cast_variables(variables) if bf16 else variables
         self.dtype = jnp.bfloat16 if bf16 else jnp.float32
@@ -44,12 +56,28 @@ class Transcriber:
         self.use_pitch = use_pitch
         self.use_waveform = use_waveform
         self.max_new_tokens = max_new_tokens
+        self.beam_size = int(beam_size)
+        self.length_penalty = float(length_penalty)
+        if pitch_estimator not in ("dio", "yin"):
+            raise ValueError(f"unknown pitch estimator {pitch_estimator!r}")
+        self.pitch_estimator = pitch_estimator
         self._frontend = jax.jit(self._features)
 
     @classmethod
     def from_checkpoint(cls, ckpt_path: str, tokenizer_path: str,
                         cfg: Optional[Config] = None, **kw):
+        """``cfg=None`` loads the ``config.json`` the training loop
+        writes next to its checkpoints (train/loop.py), so model
+        variants (streaming, chained blocks, modality flags) restore
+        without re-stating them; a bare checkpoint with no config.json
+        falls back to the default ``Config()``."""
         from asr_model_tpu.train.checkpoint import restore_checkpoint
+        if cfg is None:
+            cfg_path = os.path.join(os.path.dirname(os.path.abspath(
+                ckpt_path)), "config.json")
+            if os.path.exists(cfg_path):
+                with open(cfg_path) as f:
+                    cfg = Config.from_json(f.read())
         cfg = cfg or Config()
         model = Model(param=cfg.model.dims, cfg=cfg.model)
         tok = setup_tokenizer(tokenizer_path)
@@ -74,6 +102,7 @@ class Transcriber:
             **init_kw))(jax.random.key(0))
         kw.setdefault("use_pitch", cfg.data.pitch)
         kw.setdefault("use_waveform", cfg.data.waveform)
+        kw.setdefault("pitch_estimator", cfg.data.pitch_estimator)
         from asr_model_tpu.train.loop import make_optimizer
         tx, _ = make_optimizer(cfg, variables["params"])
         target = {"params": variables["params"],
@@ -91,7 +120,7 @@ class Transcriber:
                                   self.hop, mels)[None]
         out = {"spectrogram": mel.astype(self.dtype)}
         T = mel.shape[-1]
-        if self.use_pitch:
+        if self.use_pitch and self.pitch_estimator == "yin":
             f0, _ = yin_f0(audio, fs=self.sample_rate,
                            frame_period=self.hop / self.sample_rate * 1000)
             f0 = jnp.pad(f0[None, None, :],
@@ -102,6 +131,20 @@ class Transcriber:
             out["waveform"] = w[None].astype(self.dtype)
         return out
 
+    def _add_host_pitch(self, feats: dict, wav: np.ndarray) -> dict:
+        """DIO pitch runs on the host (native C++), exactly the
+        train-time path (features.py -> ops/pitch.pitch_track)."""
+        if not self.use_pitch or self.pitch_estimator != "dio":
+            return feats
+        from asr_model_tpu.ops.pitch import pitch_track
+        T = feats["spectrogram"].shape[-1]
+        f0 = pitch_track(wav, self.sample_rate, self.hop,
+                         estimator="dio")          # (1, T0)
+        f0 = np.pad(f0, ((0, 0), (0, max(T - f0.shape[-1], 0))))[:, :T]
+        feats = dict(feats)
+        feats["pitch"] = jnp.asarray(f0[None], self.dtype)
+        return feats
+
     def _load(self, audio: Union[str, np.ndarray]) -> np.ndarray:
         if isinstance(audio, str):
             wav, sr = load_wave(audio, self.sample_rate)
@@ -109,16 +152,29 @@ class Transcriber:
         return np.asarray(audio, np.float32)
 
     def __call__(self, audio: Union[str, np.ndarray],
-                 max_new_tokens: Optional[int] = None) -> str:
-        """Single-utterance greedy transcription (BASELINE config #1)."""
+                 max_new_tokens: Optional[int] = None,
+                 beam_size: Optional[int] = None) -> str:
+        """Single-utterance transcription (BASELINE config #1): greedy,
+        or beam search when ``beam_size`` (here or on the ctor) > 1."""
         wav = self._load(audio)
-        feats = self._frontend(jnp.asarray(wav))
-        ids = greedy_decode(self.model, self.variables,
-                            spectrogram=feats.get("spectrogram"),
-                            pitch=feats.get("pitch"),
-                            waveform=feats.get("waveform"),
-                            max_new_tokens=max_new_tokens
-                            or self.max_new_tokens)
+        feats = self._add_host_pitch(self._frontend(jnp.asarray(wav)), wav)
+        k = self.beam_size if beam_size is None else int(beam_size)
+        if k > 1:
+            from asr_model_tpu.models.beam import beam_search
+            ids, _scores = beam_search(
+                self.model, self.variables,
+                spectrogram=feats.get("spectrogram"),
+                pitch=feats.get("pitch"),
+                waveform=feats.get("waveform"), beam_size=k,
+                max_new_tokens=max_new_tokens or self.max_new_tokens,
+                length_penalty=self.length_penalty)
+        else:
+            ids = greedy_decode(self.model, self.variables,
+                                spectrogram=feats.get("spectrogram"),
+                                pitch=feats.get("pitch"),
+                                waveform=feats.get("waveform"),
+                                max_new_tokens=max_new_tokens
+                                or self.max_new_tokens)
         return self.tokenizer.decode(list(np.asarray(ids)[0]))
 
     def transcribe_long(self, audio: Union[str, np.ndarray],
@@ -130,13 +186,15 @@ class Transcriber:
                                   sample_rate=self.sample_rate,
                                   chunk_sec=chunk_sec,
                                   use_pitch=self.use_pitch,
-                                  use_waveform=self.use_waveform, **kw)
+                                  use_waveform=self.use_waveform,
+                                  pitch_estimator=self.pitch_estimator,
+                                  **kw)
         return text
 
     def encode_only(self, audio: Union[str, np.ndarray]):
         """Batched mel + encoder-only forward (BASELINE config #2)."""
         wav = self._load(audio)
-        feats = self._frontend(jnp.asarray(wav))
+        feats = self._add_host_pitch(self._frontend(jnp.asarray(wav)), wav)
         xa = {"a": feats.get("pitch", feats["spectrogram"]),
               "b": feats["spectrogram"],
               "c": feats.get("waveform", feats["spectrogram"])}

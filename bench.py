@@ -52,6 +52,13 @@ def main():
     # --batch 64 measures the max-throughput serving configuration
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--max-new-tokens", type=int, default=64)
+    ap.add_argument("--pitch-estimator", type=str, default="yin",
+                    choices=["yin", "dio"],
+                    help="yin = fully on-device frontend (headline); "
+                         "dio = host native DIO+StoneMask, the "
+                         "train-parity serving path (DataConfig."
+                         "pitch_estimator) — host pitch is timed "
+                         "inside the loop")
     args = ap.parse_args()
 
     sr, hop = 16000, 160
@@ -97,8 +104,19 @@ def main():
                            waveform=jnp.asarray(wav))
     variables = cast_variables(variables)  # bf16 inference mode
 
+    def host_pitch(audio_np, T):
+        from asr_model_tpu.ops.pitch import pitch_track
+        f0 = np.stack([pitch_track(a, sr, hop, estimator="dio")[0]
+                       for a in audio_np])[:, None, :]   # (B, 1, Tp)
+        pad = max(T - f0.shape[-1], 0)
+        return jnp.asarray(
+            np.pad(f0, ((0, 0), (0, 0), (0, pad)))[..., :T],
+            jnp.bfloat16)
+
     def transcribe(audio):
         mel, f0, wav = frontend(audio)
+        if args.pitch_estimator == "dio":
+            f0 = host_pitch(audio_np, mel.shape[-1])
         return greedy_decode(model, variables, spectrogram=mel,
                              pitch=f0, waveform=wav,
                              max_new_tokens=max_new_tokens,
@@ -128,7 +146,8 @@ def main():
 
     print(json.dumps({
         "metric": "transcription RTFx (audio-sec/sec/chip: on-device "
-                  "log-mel + YIN pitch + waveform frontend, 3-modality "
+                  f"log-mel + {args.pitch_estimator.upper()} pitch + "
+                  "waveform frontend, 3-modality "
                   f"encode, greedy decode {max_new_tokens} tokens, "
                   f"flagship 512d/40k, bf16, batch {batch})",
         "value": round(rtfx, 3),
