@@ -160,13 +160,17 @@ class AudioEncoder(nn.Module):
 
     def _process_feature(self, x: jnp.ndarray, train: bool = False,
                          rng=None, pe: bool = True,
-                         valid=None) -> jnp.ndarray:
+                         valid=None, pe_override=None) -> jnp.ndarray:
         """``pe=False`` skips the sinusoidal position add and ``valid``
         ((B, T) bool) re-zeroes out-of-bounds time rows before every
         padded conv — both used by the sequence-parallel encoder
         (parallel/seq.py:sp_encode), which processes halo-extended time
-        shards and adds globally-offset positions itself.  With
-        ``valid`` all-True (or None) the math is unchanged."""
+        shards.  ``pe_override`` (rows, dims) supplies globally-offset
+        positions to add in place of the standard sinusoids — INSIDE
+        this function, so the optional ``out_norm`` (norm=True,
+        model.py:161-162) still runs after the position add exactly as
+        in the unsharded path (ADVICE r2).  With ``valid`` all-True
+        (or None) and no override the math is unchanged."""
         act = get_activation(self.act)
         if x.ndim == 2:
             x = x[None]
@@ -200,6 +204,8 @@ class AudioEncoder(nn.Module):
         if pe:
             x = x + sinusoids(x.shape[1], x.shape[-1],
                               self.theta).astype(x.dtype)
+        elif pe_override is not None:
+            x = x + pe_override.astype(x.dtype)
         if self.norm:
             x = self.out_norm(x)
         if self.enc:

@@ -38,7 +38,13 @@ from asr_model_tpu.models.model import Model, modality_slots
 
 @functools.lru_cache(maxsize=32)
 def _build_decode_fn(model: Model, max_new_tokens: int,
-                     suppress_eos: bool):
+                     suppress_eos: bool, sp_ctx=None):
+    """``sp_ctx`` is the active seq-sharding context (or None) — part
+    of the cache key because the context is consulted at TRACE time by
+    Attention: without it, a decode fn first traced inside a
+    seq_sharding context would bake the SP routing into the cached
+    non-SP entry (ADVICE r2)."""
+    del sp_ctx  # key-only; the traced body reads the live context
     T = 1 + max_new_tokens
 
     def decode(variables, xa):
@@ -108,14 +114,18 @@ def greedy_decode(model: Model, variables, spectrogram=None, pitch=None,
     """Returns (B, 1+max_new_tokens) ids: BOS, generated tokens, PAD
     after a row's EOS.  One compile per (shapes, max_new_tokens)."""
     del rngs  # decode is deterministic (gumbel routing takes argmax)
+    from asr_model_tpu.parallel.seq import active_seq_sharding
     xa = modality_slots(pitch, spectrogram, waveform, pitch_tokens)
-    fn = _build_decode_fn(model, int(max_new_tokens), bool(suppress_eos))
+    fn = _build_decode_fn(model, int(max_new_tokens), bool(suppress_eos),
+                          active_seq_sharding())
     return fn(variables, xa)
 
 
 @functools.lru_cache(maxsize=32)
 def _build_prompted_decode_fn(model: Model, prompt_len: int,
-                              max_new_tokens: int, suppress_eos: bool):
+                              max_new_tokens: int, suppress_eos: bool,
+                              sp_ctx=None):
+    del sp_ctx  # cache-key-only (see _build_decode_fn)
     T = 1 + prompt_len + max_new_tokens
 
     def decode(variables, xa, prompt):
@@ -177,10 +187,12 @@ def greedy_decode_prompted(model: Model, variables, prompt: jnp.ndarray,
     """Greedy decode seeded with a (B, P) token prompt after BOS —
     the long-form cross-chunk carry (models/longform.py).  Compiles one
     program per (prompt length, shapes)."""
+    from asr_model_tpu.parallel.seq import active_seq_sharding
     xa = modality_slots(pitch, spectrogram, waveform, pitch_tokens)
     p = int(prompt.shape[-1])
     fn = _build_prompted_decode_fn(model, p, int(max_new_tokens),
-                                   bool(suppress_eos))
+                                   bool(suppress_eos),
+                                   active_seq_sharding())
     return fn(variables, xa, prompt.astype(jnp.int32))
 
 

@@ -120,6 +120,17 @@ def sp_encode(model, variables, feature: jnp.ndarray, mesh: Mesh,
     if getattr(model.cfg, "encoder_transformer", False):
         raise ValueError("sp_encode requires encoder_transformer=False "
                          "(global self-attention is not time-local)")
+    if getattr(model.cfg, "encoder_norm", False):
+        # encoder_norm applies out_norm/local_norm per POSITION for the
+        # channel-axis norms; time-coupled norm types would need a
+        # collective and are rejected (ADVICE r2: norm=True must be
+        # numerically equal, not silently divergent)
+        if model.param.n_type in ("instancenorm", "instancenorm2d",
+                                  "groupnorm", "globalnorm"):
+            raise ValueError(
+                f"sp_encode with encoder_norm=True requires a "
+                f"position-wise norm; {model.param.n_type!r} couples "
+                f"positions across time")
     n = mesh.shape[axis]
     B, C, T = feature.shape
     if T % n != 0:
@@ -149,14 +160,19 @@ def sp_encode(model, variables, feature: jnp.ndarray, mesh: Mesh,
         valid = jnp.concatenate(
             [lv, jnp.ones((t_local,), bool), rv])[None]
         valid = jnp.broadcast_to(valid, (B, halo + t_local + halo))
+        # globally-offset PE rows for the EXTENDED shard, added inside
+        # _process_feature so out_norm (encoder_norm=True) runs after
+        # the position add exactly like the unsharded path; halo rows
+        # get clamped positions — they are discarded below
+        pos = jnp.clip(idx * t_local - halo
+                       + jnp.arange(halo + t_local + halo), 0, T - 1)
+        pe_ext = jnp.take(pe_full, pos, axis=0)
         y = model.apply(
             variables, ext,
             method=lambda mdl, f: mdl.enc._process_feature(
-                f, train=False, pe=False, valid=valid))
-        y = y[:, halo:halo + t_local]
-        pe_local = jax.lax.dynamic_slice_in_dim(
-            pe_full, idx * t_local, t_local, axis=0)
-        return y + pe_local.astype(y.dtype)
+                f, train=False, pe=False, valid=valid,
+                pe_override=pe_ext))
+        return y[:, halo:halo + t_local]
 
     fn = shard_map(
         encode_chunk, mesh=mesh,

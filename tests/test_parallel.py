@@ -203,6 +203,40 @@ def test_sp_encode_matches_unsharded():
                                atol=2e-5, rtol=2e-4)
 
 
+def test_sp_encode_matches_unsharded_with_encoder_norm():
+    """ADVICE r2 (medium): with cfg.encoder_norm=True the unsharded
+    encoder applies out_norm AFTER the PE add — sp_encode must
+    reproduce that (PE is now added inside _process_feature via
+    pe_override), and reject time-coupled norm types."""
+    from asr_model_tpu.config import Dimensions, ModelConfig
+    from asr_model_tpu.models.model import Model
+    from asr_model_tpu.parallel.seq import sp_encode
+
+    dims = Dimensions(tokens=32, mels=8, dims=16, head=2, layer=2)
+    model = Model(param=dims, cfg=ModelConfig(dims=dims,
+                                              encoder_norm=True))
+    rng = np.random.RandomState(1)
+    B, T = 1, 8 * 32
+    spec = jnp.asarray(rng.randn(B, dims.mels, T), jnp.float32)
+    variables = jax.jit(lambda r: model.init(
+        {"params": r}, jnp.ones((B, 2), jnp.int32),
+        spectrogram=spec))(jax.random.key(0))
+
+    want = jax.jit(lambda v, f: model.apply(
+        v, f, method=lambda mdl, f: mdl.enc._process_feature(f)))(
+            variables, spec)
+    mesh = make_mesh(data=1, model=1, seq=8)
+    got = sp_encode(model, variables, spec, mesh)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-4)
+
+    bad = Model(param=Dimensions(tokens=32, mels=8, dims=16, head=2,
+                                 layer=2, n_type="instancenorm"),
+                cfg=ModelConfig(dims=dims, encoder_norm=True))
+    with pytest.raises(ValueError, match="position-wise"):
+        sp_encode(bad, variables, spec, mesh)
+
+
 def test_seq_sharding_context_decode_matches():
     """A decode step traced inside parallel.seq.seq_sharding (cached
     cross-KV attention distributed over 'seq') == the plain path."""
