@@ -107,6 +107,102 @@ class SyntheticDataset:
             tokenizer=self.tokenizer, **self.extract_args)
 
 
+class GrammarDataset:
+    """Text-CONDITIONAL synthetic speech from a generative grammar.
+
+    Unlike ``SyntheticDataset`` (random tones per index — only good for
+    memorization demos), every lexicon word renders to a fixed
+    two-tone acoustic signature and a sentence's audio is the
+    concatenation of its words' signatures (plus a short silence and a
+    per-utterance noise floor).  Audio is therefore a deterministic
+    function of the TEXT: a model that learns the word->signature
+    mapping can transcribe sentences it has NEVER seen — the fixture
+    behind the held-out generalization evidence (tools/
+    demo_generalize.py, docs/GENERALIZATION.md) that the reference's
+    evaluation loop measures but never demonstrates (SURVEY §3.4).
+    """
+
+    LEXICON = ["the", "quick", "brown", "fox", "jumps", "over", "lazy",
+               "dog", "hello", "world", "speech", "model"]
+
+    def __init__(self, sentences: Sequence[str], tokenizer=None,
+                 extract_args: Optional[Dict[str, Any]] = None,
+                 sample_rate: int = 16000, tone_sec: float = 0.12,
+                 gap_sec: float = 0.04, noise: float = 0.003,
+                 seed: int = 0):
+        self.sentences = list(sentences)
+        self.tokenizer = tokenizer
+        self.extract_args = extract_args or {}
+        self.sample_rate = sample_rate
+        self.tone_sec = tone_sec
+        self.gap_sec = gap_sec
+        self.noise = noise
+        self.seed = seed
+        # per-word signature: two log-spaced frequencies, fixed by the
+        # word's lexicon index (deterministic across train/eval)
+        rng = np.random.RandomState(1234)
+        L = len(self.LEXICON)
+        base = 220.0 * (2200.0 / 220.0) ** (np.arange(L) / max(L - 1, 1))
+        second = base[rng.permutation(L)]
+        self._freqs = {w: (float(base[i]), float(second[i]))
+                       for i, w in enumerate(self.LEXICON)}
+
+    @classmethod
+    def make_split(cls, n_train: int, n_eval: int, words=(3, 6),
+                   seed: int = 0):
+        """Disjoint train/eval sentence lists from the grammar: eval
+        sentences never appear in train (checked), so eval WER is
+        genuine unseen-data generalization."""
+        rng = np.random.RandomState(seed)
+        seen, train, evals = set(), [], []
+        while len(train) < n_train + n_eval:
+            k = rng.randint(words[0], words[1] + 1)
+            s = " ".join(rng.choice(cls.LEXICON, size=k))
+            if s in seen:
+                continue
+            seen.add(s)
+            train.append(s)
+        evals = train[n_train:]
+        train = train[:n_train]
+        assert not set(train) & set(evals)
+        return train, evals
+
+    def render(self, text: str, seed: int = 0) -> np.ndarray:
+        """Waveform for a sentence — concatenated word signatures."""
+        sr = self.sample_rate
+        t = np.arange(int(sr * self.tone_sec)) / sr
+        gap = np.zeros(int(sr * self.gap_sec), np.float32)
+        rng = np.random.RandomState(seed)
+        segs = []
+        for w in text.split():
+            f1, f2 = self._freqs[w]
+            for f in (f1, f2):
+                x = np.sin(2 * np.pi * f * t) \
+                    + 0.3 * np.sin(2 * np.pi * 2 * f * t)
+                # 5 ms raised-cosine edges (no clicks -> clean spectra)
+                e = int(0.005 * sr)
+                env = np.ones_like(x)
+                ramp = 0.5 - 0.5 * np.cos(np.pi * np.arange(e) / e)
+                env[:e] = ramp
+                env[-e:] = ramp[::-1]
+                segs.append((x * env).astype(np.float32))
+            segs.append(gap)
+        audio = np.concatenate(segs[:-1]) if segs else np.zeros(1, np.float32)
+        audio = audio + self.noise * rng.randn(len(audio)).astype(np.float32)
+        return (audio / np.abs(audio).max()).astype(np.float32)
+
+    def __len__(self):
+        return len(self.sentences)
+
+    def __getitem__(self, idx: int) -> Dict[str, Any]:
+        text = self.sentences[idx]
+        audio = self.render(text, seed=self.seed + idx)
+        return extract_features(
+            {"audio": {"array": audio, "sampling_rate": self.sample_rate},
+             "transcription": text},
+            tokenizer=self.tokenizer, **self.extract_args)
+
+
 def data_loader(dataset, batch_size: int = 1, shuffle: bool = False,
                 seed: int = 0, pad_to_multiple: Optional[int] = None,
                 text_pad_to_multiple: Optional[int] = None,

@@ -43,6 +43,7 @@ from flax import linen as nn
 from asr_model_tpu.models import tlayers
 from asr_model_tpu.models.registry import get_norm
 from asr_model_tpu.models.rotary import Rotary
+from asr_model_tpu.utils import default_platform
 
 NEG_INF = -1e30
 
@@ -113,7 +114,7 @@ def _flash_eligible(q, k, bias) -> bool:
         return False
     if q.shape[2] < _FLASH_MIN_TQ or k.shape[2] < _FLASH_MIN_TK:
         return False
-    return FLASH == "on" or jax.default_backend() == "tpu"
+    return FLASH == "on" or default_platform() == "tpu"
 
 
 def _sdpa_flash(q, k, v, causal, kv_valid, scale):

@@ -29,6 +29,7 @@ import os
 
 from asr_model_tpu.models import tlayers
 from asr_model_tpu.models.stochastic import gumbel_softmax
+from asr_model_tpu.utils import default_platform
 
 # PALLAS_ABBY: "on" forces the fused AbbyNormal tail everywhere
 # (interpreter on CPU — tests), "off" disables it, unset routes it on
@@ -39,7 +40,7 @@ _PALLAS_ABBY = os.environ.get("PALLAS_ABBY", "auto").lower()
 def _pallas_abby_enabled() -> bool:
     if _PALLAS_ABBY == "off":
         return False
-    return _PALLAS_ABBY == "on" or jax.default_backend() == "tpu"
+    return _PALLAS_ABBY == "on" or default_platform() == "tpu"
 
 
 def window_reduce_last(x, size: int, kind: str):
@@ -104,7 +105,7 @@ class AbbyNormal(nn.Module):
             out = fused_abby_tail(
                 x.reshape(-1, d), logits.reshape(-1, 3), size=size,
                 alpha=self.alpha, k=self.k, beta=self.beta,
-                interpret=jax.default_backend() != "tpu")
+                interpret=default_platform() != "tpu")
             return out.reshape(x.shape)
 
         div = x * x

@@ -46,7 +46,7 @@ from flax import linen as nn
 from asr_model_tpu.models import tlayers
 from asr_model_tpu.models.gates import MPNet
 from asr_model_tpu.models.stochastic import gumbel_softmax, ste_threshold
-from asr_model_tpu.utils import l2norm
+from asr_model_tpu.utils import default_platform, l2norm
 
 
 def _linear_init(fan_in):
@@ -80,7 +80,7 @@ def scan_remat():
 def _pallas_sheath_enabled() -> bool:
     if _PALLAS_SHEATH == "off":
         return False
-    return _PALLAS_SHEATH == "on" or jax.default_backend() == "tpu"
+    return _PALLAS_SHEATH == "on" or default_platform() == "tpu"
 
 
 def _layer_norm(x, scale, bias, eps=1e-5):
@@ -297,7 +297,7 @@ class MSheath(nn.Module):
             self.mem_w.reshape(1, d),
             jnp.argmax(policy_mean).astype(jnp.int32), self.jump_s,
             weights, L=self.layer, thresh=self.thresh,
-            interpret=jax.default_backend() != "tpu")
+            interpret=default_platform() != "tpu")
         return xk.reshape(b, ctx, d), jstat, actions
 
     def _xla_scan(self, x, orig_x, mem_w0, valid, policy_mean, keys,

@@ -20,6 +20,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from asr_model_tpu.utils import default_platform
 import numpy as np
 
 
@@ -142,7 +143,7 @@ PALLAS_MEL = "auto"
 def _pallas_mel_eligible(audio) -> bool:
     if PALLAS_MEL == "off" or audio.ndim != 1:
         return False
-    return PALLAS_MEL == "on" or jax.default_backend() == "tpu"
+    return PALLAS_MEL == "on" or default_platform() == "tpu"
 
 
 def log_mel_spectrogram(audio: jnp.ndarray, sample_rate: int = 16000,

@@ -23,6 +23,7 @@ import math
 
 import jax
 import jax.numpy as jnp
+from asr_model_tpu.utils import default_platform
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -123,7 +124,7 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     softmax(q k^T * scale) v with optional causal + kv-validity
     masking.  Tq/Tk padded to tile multiples internally."""
     if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+        interpret = default_platform() != "tpu"
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
 

@@ -36,6 +36,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from asr_model_tpu.ops.mel import hann_window, mel_filterbank, whisper_compress
+from asr_model_tpu.utils import default_platform
 
 FRAME_BLOCK = 128          # frames per kernel invocation
 
@@ -74,7 +75,7 @@ def pallas_mel_spectrogram(audio: jnp.ndarray, sample_rate: int = 16000,
     matching ops/mel.mel_spectrogram (center=True constant padding,
     n_frames = 1 + N//hop)."""
     if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+        interpret = default_platform() != "tpu"
 
     n = audio.shape[-1]
     n_frames = 1 + n // hop_length

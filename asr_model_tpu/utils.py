@@ -8,6 +8,7 @@ Parity: the null-coalescing helper family at essentials.py:19-39
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -43,3 +44,19 @@ def l2norm(t, axis=-1, eps=1e-12):
 def exact_div(x: int, y: int) -> int:
     assert x % y == 0
     return x // y
+
+
+def default_platform() -> str:
+    """Platform computations will actually land on: honors an active
+    ``jax.default_device(...)`` context / config (host-pinned feature
+    extraction inside a TPU process), falling back to the default
+    backend.  All Pallas kernel gates route through this — gating on
+    ``jax.default_backend()`` alone would launch TPU kernels on a
+    CPU-pinned computation."""
+    dd = jax.config.jax_default_device
+    if dd is not None:
+        try:
+            return dd.platform
+        except AttributeError:      # a string like "cpu"
+            return str(dd)
+    return jax.default_backend()

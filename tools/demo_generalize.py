@@ -1,0 +1,192 @@
+"""Held-out generalization evidence (VERDICT r2 "What's missing #3").
+
+Trains the streaming-causal flagship variant on sentences drawn from a
+generative grammar whose AUDIO is a deterministic function of the TEXT
+(data/dataset.py:GrammarDataset — per-word two-tone signatures), then
+reports free-running greedy WER on a held-out sentence set that is
+string-disjoint from training.  Unlike the overfit demo (memorization),
+a low held-out WER here requires the model to have learned the
+word->signature acoustic mapping and to compose it for unseen word
+orders — real generalization, measured exactly the way the reference's
+eval loop defines WER (essentials.py:906-935, generate=True mode).
+
+Run: python tools/demo_generalize.py [--steps 4000] [--cpu]
+Appends results to docs/GENERALIZATION.md with the full run config.
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=4000)
+    ap.add_argument("--dims", type=int, default=128)
+    ap.add_argument("--head", type=int, default=4)
+    ap.add_argument("--layer", type=int, default=2)
+    ap.add_argument("--mels", type=int, default=32)
+    ap.add_argument("--n-train", type=int, default=200)
+    ap.add_argument("--n-eval", type=int, default=16)
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--lr", type=float, default=2.5e-3)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--write-doc", action="store_true",
+                    help="append the results to docs/GENERALIZATION.md")
+    args = ap.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(__file__), "..",
+                                   ".jax_cache"))
+    import jax.numpy as jnp
+
+    from asr_model_tpu.config import (Config, Dimensions, ModelConfig,
+                                      OptimConfig)
+    from asr_model_tpu.data.collator import collate
+    from asr_model_tpu.data.dataset import GrammarDataset
+    from asr_model_tpu.data.tokenizer import setup_tokenizer
+    from asr_model_tpu.models.generate import greedy_decode
+    from asr_model_tpu.models.model import Model
+    from asr_model_tpu.train.loop import make_optimizer, make_train_step
+    from asr_model_tpu.train.metrics import wer_batch
+
+    tok = setup_tokenizer(os.path.join(os.path.dirname(__file__), "..",
+                                       "asr_model_tpu", "assets",
+                                       "tokenizer.json"))
+    train_s, eval_s = GrammarDataset.make_split(args.n_train, args.n_eval,
+                                                seed=args.seed)
+    extract_args = dict(spectrogram=True, mels=args.mels)
+    train_ds = GrammarDataset(train_s, tokenizer=tok,
+                              extract_args=extract_args, seed=100)
+    eval_ds = GrammarDataset(eval_s, tokenizer=tok,
+                             extract_args=extract_args, seed=900)
+
+    print(f"precomputing features: {len(train_ds)} train / "
+          f"{len(eval_ds)} held-out ...", flush=True)
+    # host feature extraction is eager jnp — pin it to the CPU backend
+    # (per-op dispatch through a remote-TPU tunnel would dominate)
+    cpu = [d for d in jax.local_devices(backend="cpu")]
+    with jax.default_device(cpu[0]):
+        train_items = [train_ds[i] for i in range(len(train_ds))]
+        eval_items = [eval_ds[i] for i in range(len(eval_ds))]
+
+    # one static shape for everything: pad features to the global max
+    tmax = max(it["spectrogram"].shape[-1]
+               for it in train_items + eval_items)
+    tmax = ((tmax + 63) // 64) * 64
+
+    def pad_items(items):
+        out = []
+        for it in items:
+            it = dict(it)
+            s = it["spectrogram"]
+            it["spectrogram"] = np.pad(
+                s, ((0, 0), (0, tmax - s.shape[-1])))
+            out.append(it)
+        return out
+
+    train_items = pad_items(train_items)
+    eval_items = pad_items(eval_items)
+
+    def batches(items, bs, rng=None, drop_last=True):
+        idx = np.arange(len(items))
+        if rng is not None:
+            rng.shuffle(idx)
+        for i in range(0, len(idx) - (bs - 1 if drop_last else 0), bs):
+            sel = [items[j] for j in idx[i:i + bs]]
+            yield collate(sel, text_pad_to_multiple=16)
+
+    dims = Dimensions(tokens=40000, mels=args.mels, dims=args.dims,
+                      head=args.head, layer=args.layer)
+    cfg = Config(model=ModelConfig(dims=dims, streaming=True),
+                 optim=OptimConfig(lr=args.lr, warmup_steps=50,
+                                   total_steps=args.steps))
+    model = Model(param=dims, cfg=cfg.model)
+
+    first = next(batches(train_items, args.batch))
+    db = {k: jnp.asarray(v) for k, v in first.items()}
+    variables = jax.jit(lambda r, b: model.init(
+        {"params": r, "gumbel": r, "dropout": r}, b["text_ids"],
+        labels=b["labels"], spectrogram=b["spectrogram"]))(
+            jax.random.key(args.seed), db)
+    params = variables["params"]
+    bs_stats = variables.get("batch_stats", {})
+    tx, _ = make_optimizer(cfg, params)
+    opt_state = tx.init(params)
+    step_fn = make_train_step(model, tx)
+    rng = jax.random.key(args.seed + 1)
+    shuffle_rng = np.random.RandomState(args.seed + 2)
+
+    t0 = time.time()
+    step = 0
+    loss0 = loss = None
+    while step < args.steps:
+        for batch in batches(train_items, args.batch, rng=shuffle_rng):
+            dbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+            params, opt_state, bs_stats, rng, loss, gnorm, _ = step_fn(
+                params, opt_state, bs_stats, rng, dbatch)
+            if step % 200 == 0 or step == args.steps - 1:
+                l = float(loss)
+                if loss0 is None:
+                    loss0 = l
+                print(f"step {step:5d}  loss {l:8.4f}  "
+                      f"gnorm {float(gnorm):9.2f}  "
+                      f"({time.time() - t0:.0f}s)", flush=True)
+            step += 1
+            if step >= args.steps:
+                break
+
+    final_loss = float(loss)
+    var = {"params": params, "batch_stats": bs_stats}
+
+    def free_running_wer(items, name):
+        refs, hyps = [], []
+        for batch in batches(items, args.n_eval, drop_last=False):
+            ids = greedy_decode(
+                model, var, spectrogram=jnp.asarray(batch["spectrogram"]),
+                max_new_tokens=int(batch["labels"].shape[1]))
+            hyps.extend(tok.batch_decode(np.asarray(ids).tolist()))
+            refs.extend(tok.batch_decode(batch["labels"].tolist()))
+        wer = wer_batch(refs, hyps)
+        print(f"\n== {name} free-running WER: {wer:.1f}% ==")
+        for r, h in list(zip(refs, hyps))[:8]:
+            print(f"  ref: {r!r}\n  hyp: {h!r}")
+        return wer
+
+    train_wer = free_running_wer(train_items[:args.n_eval],
+                                 "train-subset")
+    heldout_wer = free_running_wer(eval_items, "HELD-OUT")
+
+    summary = (
+        f"steps={args.steps} dims={args.dims} head={args.head} "
+        f"layer={args.layer} mels={args.mels} streaming=True "
+        f"n_train={args.n_train} n_eval={args.n_eval} "
+        f"batch={args.batch} lr={args.lr} seed={args.seed} | "
+        f"loss {loss0:.3f}->{final_loss:.3f} | "
+        f"train-subset WER {train_wer:.1f}% | "
+        f"held-out WER {heldout_wer:.1f}% | "
+        f"{time.time() - t0:.0f}s on {jax.default_backend()}")
+    print("\n" + summary)
+
+    if args.write_doc:
+        doc = os.path.join(os.path.dirname(__file__), "..", "docs",
+                           "GENERALIZATION.md")
+        with open(doc, "a") as f:
+            f.write(f"- `{summary}`\n")
+
+    ok = heldout_wer < 50.0
+    print("GENERALIZATION DEMO:", "PASS" if ok else "WEAK")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
