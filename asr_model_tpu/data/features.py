@@ -97,7 +97,16 @@ def harmonics_and_aperiodics(audio: np.ndarray, sample_rate: int,
     to the native WORLD implementations (native/world.cpp: CheapTrick
     envelope + D4C band aperiodicity from the published algorithms);
     falls back to the earlier STFT-envelope approximation only when
-    the native library cannot build."""
+    the native library cannot build.
+
+    Validation caveat: pyworld does not exist in this image, so
+    CheapTrick/D4C are validated at the PROPERTY level only (envelope
+    tracks spectral content; aperiodicity separates harmonic from
+    noise, tests/test_pitch.py) — no bit-level numeric reference.
+    These features are latent in the reference (harmonics=False
+    default, model.py:737-738), so a numeric regression here would not
+    affect the live WER path; treat them as documented-intent
+    implementations, not bit-parity ones."""
     try:
         from asr_model_tpu.native import world_cheaptrick, world_d4c
 
