@@ -34,6 +34,13 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--log-dir", type=str, default=None)
     p.add_argument("--checkpoint-dir", type=str, default=None)
     p.add_argument("--resume", type=str, default=None)
+    p.add_argument("--import-reference", type=str, default=None,
+                   metavar="STATE_DICT_PT",
+                   help="initialize from a reference (PyTorch) "
+                        "Model.state_dict() .pt file via the "
+                        "layout-converting importer (asr_model_tpu."
+                        "compat) — migrate a reference checkpoint "
+                        "into this framework and keep training")
     p.add_argument("--generate", action="store_true",
                    help="free-running greedy eval WER instead of "
                         "teacher-forced")
@@ -177,8 +184,25 @@ def main(argv=None):
                            text_pad_to_multiple=text_mult)
 
     model = Model(param=dims, cfg=cfg.model)
+    init_variables = None
+    if args.import_reference:
+        import jax.numpy as jnp
+        from asr_model_tpu.compat import import_reference_checkpoint
+        mono = jnp.zeros((1, 1, 16), jnp.float32)
+        init_kw = {"spectrogram": jnp.zeros((1, args.mels, 16),
+                                            jnp.float32)}
+        if cfg.data.pitch:
+            init_kw["pitch"] = mono
+        if cfg.data.waveform:
+            init_kw["waveform"] = mono
+        if cfg.data.pitch_tokens:
+            init_kw["pitch_tokens"] = jnp.zeros((1, 3), jnp.float32)
+        init_variables = import_reference_checkpoint(
+            args.import_reference, model, init_kw)
+        print(f"imported reference state_dict {args.import_reference}")
     variables = train_and_evaluate(model, tokenizer, train_loader,
                                    eval_loader, cfg,
+                                   variables=init_variables,
                                    resume_from=args.resume)
 
     import jax

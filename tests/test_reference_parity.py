@@ -128,6 +128,28 @@ def test_greedy_decode_tokens_match_reference(golden, transplanted):
     assert ours[:len(ref)].tolist() == ref.tolist()
 
 
+def test_import_reference_checkpoint_pt_file(golden, transplanted, tmp_path):
+    """The user-facing .pt importer (also behind cli.py
+    --import-reference): torch.save'd state_dict -> variables whose
+    forward matches the golden logits."""
+    torch = pytest.importorskip("torch")
+    model, variables = transplanted
+    g = golden
+    sd = {k[3:]: torch.tensor(g[k]) for k in g.files
+          if k.startswith("sd:")}
+    path = str(tmp_path / "reference_model.pt")
+    torch.save(sd, path)
+
+    from asr_model_tpu.compat import import_reference_checkpoint
+    init_kw = dict(spectrogram=jnp.asarray(g["in_spectrogram"]),
+                   pitch=jnp.asarray(g["in_pitch"]),
+                   waveform=jnp.asarray(g["in_waveform"]))
+    imported = import_reference_checkpoint(path, model, init_kw)
+    flat_a = jax.tree_util.tree_leaves(imported["params"])
+    flat_b = jax.tree_util.tree_leaves(variables["params"])
+    assert all(np.array_equal(a, b) for a, b in zip(flat_a, flat_b))
+
+
 def test_converter_rejects_incomplete_state_dict(golden, transplanted):
     model, variables = transplanted
     g = golden

@@ -35,6 +35,10 @@ def main():
     ap.add_argument("--n-eval", type=int, default=16)
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--lr", type=float, default=2.5e-3)
+    ap.add_argument("--clip", type=float, default=0.0,
+                    help="global grad-norm clip (0 = off); the "
+                         "late-phase gnorm spikes at lr 2.5e-3 "
+                         "destabilize long runs without it")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--write-doc", action="store_true",
@@ -122,7 +126,7 @@ def main():
     bs_stats = variables.get("batch_stats", {})
     tx, _ = make_optimizer(cfg, params)
     opt_state = tx.init(params)
-    step_fn = make_train_step(model, tx)
+    step_fn = make_train_step(model, tx, args.clip)
     rng = jax.random.key(args.seed + 1)
     shuffle_rng = np.random.RandomState(args.seed + 2)
 
