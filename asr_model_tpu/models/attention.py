@@ -208,6 +208,32 @@ class Attention(nn.Module):
         k = self.rot(k, cond=xa, causal=False)
         return self.head_norm(k), v
 
+    # ---- incremental (one-position) pieces for the streaming decode
+    # (models/generate.py:greedy_decode_stream).  Numerics match the
+    # buffer path exactly: same projection -> scale -> rotary (with the
+    # position offset) -> per-head norm order; ``v`` stays raw.
+
+    def q_step(self, x_t: jnp.ndarray, pos, causal: bool) -> jnp.ndarray:
+        """(B, 1, D) -> normalized rotated query heads (B, H, 1, hd)."""
+        scale = (self.dims // self.head) ** -0.25
+        q = self._q(x_t) * scale
+        q = self.rot(q, cond=x_t, causal=causal, offset=pos)
+        return self.head_norm(q)
+
+    def kv_step(self, src_t: jnp.ndarray, pos, causal: bool):
+        """(B, 1, D) -> (normalized rotated key (B,H,1,hd), value)."""
+        scale = (self.dims // self.head) ** -0.25
+        k, v = self._kv(src_t)
+        k = self.rot(k * scale, cond=src_t, causal=causal, offset=pos)
+        return self.head_norm(k), v
+
+    def attend_cached(self, qn, kn, v, kv_valid=None) -> jnp.ndarray:
+        """Attention over an already-processed K/V buffer + output
+        projection (the incremental counterpart of the cached_kv branch
+        of __call__, without the SP routing)."""
+        a = sdpa(qn, kn, v, causal=False, kv_valid=kv_valid)
+        return self.out_proj(_merge_heads(a))
+
     def __call__(self, x: jnp.ndarray, xa: Optional[jnp.ndarray] = None,
                  causal: bool = False, pt: Optional[jnp.ndarray] = None,
                  window: int = 3,

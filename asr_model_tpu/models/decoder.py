@@ -130,6 +130,76 @@ class Residual(nn.Module):
         return x + self._mlp(x)
 
 
+def _update_cache(cache, new, pos):
+    """Write a (B, H, 1, hd) slice at time index ``pos`` of a fixed
+    (B, H, Tmax, hd) cache buffer."""
+    return jax.lax.dynamic_update_slice_in_dim(cache, new.astype(
+        cache.dtype), pos, axis=2)
+
+
+class StreamingResidual:
+    """Incremental one-position execution of ``Residual`` for the
+    streaming-causal variant (every text-side path is prefix-causal,
+    config.py:67), used by generate.greedy_decode_stream.
+
+    Per call site the state is {jump: MSheath running-mean state,
+    k/v: (B, H, Tmax, hd) self-attention caches}; the g-block site adds
+    {xa_jump, xa_k, xa_v} for its growing (causal) cross source.  The
+    numerics per position equal the buffer path's newest position —
+    KV entries are written post scale+rotary+head-norm, exactly what
+    the buffer recomputes for every prefix position each step."""
+
+    @staticmethod
+    def init_state(blk, batch: int, t_max: int, dtype,
+                   with_xa: bool = False):
+        h = blk.head
+        hd = blk.dims // h
+        st = {"jump": blk.jump.init_stream_state(batch),
+              "k": jnp.zeros((batch, h, t_max, hd), dtype),
+              "v": jnp.zeros((batch, h, t_max, hd), dtype)}
+        if with_xa:
+            st["xa_jump"] = blk.jump.init_stream_state(batch)
+            st["xa_k"] = jnp.zeros((batch, h, t_max, hd), dtype)
+            st["xa_v"] = jnp.zeros((batch, h, t_max, hd), dtype)
+        return st
+
+    @staticmethod
+    def step(blk, x_t, pos, state, prefix_valid, cached_kv=None,
+             xa_t=None, pe_row=None, audio_valid=None):
+        """x_t: (B, 1, D) at global position ``pos``; prefix_valid:
+        (B, Tmax) mask of positions <= pos.  Returns (y_t, state)."""
+        st = dict(state)
+        n_router = blk.layer - 1
+        x1, st["jump"] = blk.jump.stream_step(blk.ln(x_t), st["jump"])
+        ax = blk.ln(x1)
+        qn = blk.attn.q_step(ax, pos, causal=True)
+        kn, v = blk.attn.kv_step(ax, pos, causal=True)
+        st["k"] = _update_cache(st["k"], kn, pos)
+        st["v"] = _update_cache(st["v"], v, pos)
+        x2 = blk.router(*[x1] * n_router) + blk.attn.attend_cached(
+            qn, st["k"], st["v"], kv_valid=prefix_valid)
+        if cached_kv is not None:
+            # fixed audio cross source (precomputed K/V, non-causal)
+            q2 = blk.attn.q_step(blk.ln(x2), pos, causal=False)
+            kc, vc = cached_kv
+            x2 = x2 + blk.attn.attend_cached(q2, kc, vc,
+                                             kv_valid=audio_valid)
+        elif xa_t is not None:
+            # growing text-derived cross source (the d||e block):
+            # prefix-causal on both sides (cross_causal/xa_streaming)
+            xa = xa_t + pe_row.astype(xa_t.dtype)
+            xa1, st["xa_jump"] = blk.jump.stream_step(blk.ln(xa),
+                                                      st["xa_jump"])
+            mixed = blk.router(*[xa1] * n_router)
+            kx, vx = blk.attn.kv_step(mixed, pos, causal=True)
+            st["xa_k"] = _update_cache(st["xa_k"], kx, pos)
+            st["xa_v"] = _update_cache(st["xa_v"], vx, pos)
+            q3 = blk.attn.q_step(blk.ln(x2), pos, causal=True)
+            x2 = x2 + blk.attn.attend_cached(q3, st["xa_k"], st["xa_v"],
+                                             kv_valid=prefix_valid)
+        return x2 + blk._mlp(x2), st
+
+
 class Processor(nn.Module):
     tokens: int
     mels: int
@@ -225,6 +295,63 @@ class Processor(nn.Module):
                 xa_valid=text_valid, streaming=st,
                 cross_causal=st, xa_streaming=st)
         return d, g
+
+    def init_stream_state(self, batch: int, t_max: int, dtype):
+        """Per-site incremental state for decode_stream_step: the five
+        Residual call sites a/b/c/d/g of the LAST block (chained=False
+        parity — earlier blocks are dead code, see class docstring)."""
+        if self.chained:
+            raise NotImplementedError(
+                "incremental streaming decode supports chained=False")
+        blk = self.block[-1]
+        S = StreamingResidual
+        return {k: S.init_state(blk, batch, t_max, dtype)
+                for k in ("a", "b", "c", "d")} | {
+            "g": S.init_state(blk, batch, t_max, dtype, with_xa=True)}
+
+    def decode_stream_step(self, token_t: jnp.ndarray, pos, state: dict,
+                           xa_kv: Dict, pe_table: jnp.ndarray,
+                           xa_masks: Optional[Dict] = None):
+        """One streaming-causal decode step: embed the newest token,
+        run the a/b/c/d/e/(d||e->g) flow for ONE position against the
+        incremental state, and return (logits (B, vocab), new state).
+        O(1) work per token (plus O(t) attention reads) instead of the
+        buffer path's full-prefix recompute — valid ONLY for
+        streaming=True, where every text-side path is prefix-causal."""
+        assert self.streaming, "incremental decode requires streaming"
+        blend = nn.sigmoid(self.blend)
+        blk = self.block[-1]
+        t_max = state["a"]["k"].shape[2]
+        batch = token_t.shape[0]
+        prefix_valid = jnp.broadcast_to(
+            jnp.arange(t_max)[None, :] <= pos, (batch, t_max))
+        xa_masks = xa_masks or {}
+
+        x = self.token(token_t[:, None]) \
+            + jax.lax.dynamic_slice_in_dim(self.position, pos, 1, axis=0)
+        pe_row = jax.lax.dynamic_slice_in_dim(pe_table, pos, 1, axis=0)
+
+        S = StreamingResidual
+        st = dict(state)
+        a, st["a"] = S.step(blk, x, pos, st["a"], prefix_valid)
+        b, st["b"] = (S.step(blk, a, pos, st["b"], prefix_valid,
+                             cached_kv=xa_kv["a"],
+                             audio_valid=xa_masks.get("a"))
+                      if "a" in xa_kv else (a, st["b"]))
+        c, st["c"] = (S.step(blk, b, pos, st["c"], prefix_valid,
+                             cached_kv=xa_kv["b"],
+                             audio_valid=xa_masks.get("b"))
+                      if "b" in xa_kv else (b, st["c"]))
+        d, st["d"] = (S.step(blk, c, pos, st["d"], prefix_valid,
+                             cached_kv=xa_kv["c"],
+                             audio_valid=xa_masks.get("c"))
+                      if "c" in xa_kv else (c, st["d"]))
+        e = a + b + c
+        g, st["g"] = S.step(blk, d, pos, st["g"], prefix_valid,
+                            xa_t=e, pe_row=pe_row)
+        out = blend * d + (1 - blend) * g           # seq=False head
+        logits = self.ln(out) @ self.token.embedding.T
+        return logits[:, 0].astype(jnp.float32), st
 
     def __call__(self, ids: jnp.ndarray, xa: Dict[str, jnp.ndarray],
                  seq: bool = False,

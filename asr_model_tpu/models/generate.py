@@ -196,6 +196,92 @@ def greedy_decode_prompted(model: Model, variables, prompt: jnp.ndarray,
     return fn(variables, xa, prompt.astype(jnp.int32))
 
 
+@functools.lru_cache(maxsize=32)
+def _build_stream_decode_fn(model: Model, max_new_tokens: int,
+                            suppress_eos: bool):
+    """Incremental decode for the STREAMING variant: O(1) compute per
+    token (one position through the a/b/c/d/e/g flow with per-site KV
+    caches and MSheath running-mean state) instead of the buffer
+    path's full-prefix recompute — the prefix-causal property that
+    defines streaming=True (config.py:67) is exactly what makes the
+    incremental state sufficient.  Token-for-token equal to
+    greedy_decode on streaming models (tests/test_stream_decode.py)."""
+    from asr_model_tpu.config import THETA
+    from asr_model_tpu.ops.audio import sinusoids
+
+    T = 1 + max_new_tokens
+
+    def decode(variables, xa):
+        xa_enc = model.apply(variables, xa, method=Model.encode)
+
+        def _pre(mdl, xa_enc):
+            blk = mdl.processor.block[-1]
+            re_enc = mdl.processor._encode_xa(blk, xa_enc)
+            return mdl.processor._precompute_cross(blk, re_enc)
+
+        xa_kv = model.apply(variables, xa_enc, method=_pre)
+        fx = next(v for k, v in xa.items() if k != "pt")
+        batch = fx.shape[0]
+        dtype = fx.dtype
+        pe_table = sinusoids(T, model.param.dims, THETA)
+
+        def _init_state(mdl):
+            return mdl.processor.init_stream_state(batch, T, dtype)
+
+        state0 = model.apply(variables, method=_init_state)
+        ids0 = jnp.full((batch, T), PAD_ID, jnp.int32).at[:, 0].set(BOS_ID)
+
+        def cond(carry):
+            ids, state, length, done = carry
+            return (length < T) & ~jnp.all(done)
+
+        def step(carry):
+            ids, state, length, done = carry
+            pos = length - 1
+            tok = jnp.take_along_axis(ids, pos[None, None]
+                                      .repeat(batch, 0), axis=1)[:, 0]
+
+            def _step(mdl, state, tok):
+                return mdl.processor.decode_stream_step(
+                    tok, pos, state, xa_kv, pe_table)
+
+            next_logits, state = model.apply(variables, state, tok,
+                                             method=_step)
+            if suppress_eos:
+                allow = length >= (T - 1)
+                masked = jnp.where(allow, next_logits[:, EOS_ID],
+                                   -jnp.inf)
+                next_logits = next_logits.at[:, EOS_ID].set(masked)
+            nxt = jnp.argmax(next_logits, axis=-1).astype(jnp.int32)
+            nxt = jnp.where(done, jnp.asarray(PAD_ID, jnp.int32), nxt)
+            col = jnp.arange(T) == length
+            ids = jnp.where(col[None, :], nxt[:, None], ids)
+            done = done | (nxt == EOS_ID)
+            return ids, state, length + 1, done
+
+        init = (ids0, state0, jnp.asarray(1, jnp.int32),
+                jnp.zeros(batch, bool))
+        ids, _, _, _ = jax.lax.while_loop(cond, step, init)
+        return ids
+
+    return jax.jit(decode)
+
+
+def greedy_decode_stream(model: Model, variables, spectrogram=None,
+                         pitch=None, waveform=None,
+                         max_new_tokens: int = 150,
+                         suppress_eos: bool = False) -> jnp.ndarray:
+    """Incremental greedy decode (streaming models only): same output
+    contract as greedy_decode, O(1) per-token compute."""
+    if not model.cfg.streaming:
+        raise ValueError("greedy_decode_stream requires "
+                         "ModelConfig.streaming=True; use greedy_decode")
+    xa = modality_slots(pitch, spectrogram, waveform, None)
+    fn = _build_stream_decode_fn(model, int(max_new_tokens),
+                                 bool(suppress_eos))
+    return fn(variables, xa)
+
+
 def generate_predictions(model: Model, variables, tokenizer=None,
                          spectrogram=None, pitch=None, waveform=None,
                          max_new_tokens: int = 150) -> jnp.ndarray:

@@ -82,7 +82,10 @@ class Rotary(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, cond: jnp.ndarray,
-                 causal: bool) -> jnp.ndarray:
+                 causal: bool, offset=0) -> jnp.ndarray:
+        """``offset`` shifts the position index of x's time axis — the
+        incremental decode path feeds single-position tensors whose
+        global position is the prefix length (models/generate.py)."""
         head_dim = self.dims // self.head
         half = head_dim // 2
         # checkpoint-parity placeholder (model.py:178, never applied)
@@ -94,6 +97,7 @@ class Rotary(nn.Module):
         f64 = x.dtype == jnp.float64
         t = jnp.arange(x.shape[2],
                        dtype=jnp.float64 if f64 else jnp.float32)
+        t = t + jnp.asarray(offset, t.dtype)
         freqs = jnp.asarray(compute_freqs(
             self.dims, self.head, causal, self.theta,
             dtype=np.float64 if f64 else np.float32))

@@ -264,6 +264,100 @@ class MSheath(nn.Module):
         self.sow("intermediates", "jstat", jstat)
         return x, {"jstat": jstat, "actions": actions}
 
+    def init_stream_state(self, batch: int):
+        """Zero state for ``stream_step``: per-scan-step running sums
+        of x_new (the incremental form of the streaming causal mean),
+        the position count, and the position-0-decided jump actions."""
+        L, d = self.layer, self.dims
+        return {"sums": jnp.zeros((L, batch, d), jnp.float32),
+                "count": jnp.zeros((), jnp.int32),
+                "actions": jnp.zeros((L,), jnp.int32)}
+
+    def stream_step(self, x_t: jnp.ndarray, state: dict):
+        """One-position streaming-causal MSheath (eval only).
+
+        Processes (B, 1, D) — the newest decode position — carrying
+        exactly the state the streaming buffer path derives from the
+        full prefix: the causal running mean per executed scan step
+        (``sums``/``count``; _causal_mean is cumulative sums in f32,
+        reproduced as running sums here) and the jump-action sequence,
+        which the streaming variant pins to position 0 (``__call__``
+        docstring) — computed live at count==0 and replayed after.
+        Returns (y_t, new_state); numerics equal ``__call__(prefix,
+        streaming=True)[:, -1]`` by induction over positions."""
+        L = self.layer
+        b = x_t.shape[0]
+        orig_x = x_t
+        count = state["count"]
+        first = count == 0
+
+        # position-0 policy: only consulted when count == 0
+        policy = self.pnet(x_t[:, 0])
+        policy_mean = jnp.mean(policy, axis=0)
+        sampled = jnp.argmax(policy_mean).astype(jnp.int32)
+
+        mem_w = jnp.broadcast_to(self.mem_w, (b, 1, self.dims)) \
+            .astype(x_t.dtype)
+
+        def body(carry, step):
+            x, mem_w, i, sums, jstat = carry
+            active = i < L
+            idx = jnp.minimum(i, L - 1)
+
+            ion, _ = self._v_gate(x, idx)
+            px = _layer_norm(x, self.ln_scale[idx], self.ln_bias[idx])
+            a_idx = idx // 2
+            adapted = px @ self.adapt_w[a_idx] + self.adapt_b[a_idx]
+            apx = jnp.where(idx % 2 == 0, adapted, px)
+            out = self._ranvier(apx, idx)
+            g_val = nn.sigmoid(px @ self.gate_w[idx] + self.gate_b[idx])
+            x_new = x + g_val * (out * ion)
+
+            # causal running mean at this position (f32 running sums,
+            # like _causal_mean's f32 cumulative sums; the mean is then
+            # cast to x.dtype exactly like the buffer path)
+            row = sums[step] + x_new[:, 0].astype(jnp.float32)
+            mem = (row / (count + 1).astype(jnp.float32))[:, None] \
+                .astype(x.dtype)
+            mem_v = nn.sigmoid(mem @ self.memgate_w + self.memgate_b)
+            mem_w_new = mem_v * mem_w + (1 - mem_v) * mem
+
+            # jump action: live at position 0, replayed afterwards
+            potential = jnp.mean(ion[:, 0])
+            last = i >= L - 1
+            forced = (potential < 0.1) & ~last
+            live = jnp.where(last, 0,
+                             jnp.where(forced, 1, sampled)).astype(jnp.int32)
+            action = jnp.where(first, live, state["actions"][step])
+
+            jump_w = jnp.take(self.jump_s, jnp.clip(action - 1, 0, 2))
+            jump_i = jump_w * orig_x + (1 - jump_w) * mem_w_new
+            x_out = jnp.where(action > 0, x_new + jump_i, x_new)
+            i_next = jnp.where(action > 0,
+                               jnp.minimum(i + action + 1, L), i + 1)
+
+            x_c = jnp.where(active, x_out, x).astype(x.dtype)
+            mem_c = jnp.where(active, mem_w_new, mem_w) \
+                .astype(mem_w.dtype)
+            sums_c = sums.at[step].set(jnp.where(active, row, sums[step]))
+            i_c = jnp.where(active, i_next, i)
+            jstat_c = jstat + jnp.where(
+                active, jax.nn.one_hot(action, 3, dtype=jstat.dtype) * b, 0)
+            return (x_c, mem_c, i_c, sums_c, jstat_c), action
+
+        init = (x_t, mem_w, jnp.asarray(0, jnp.int32), state["sums"],
+                jnp.zeros(3, jnp.int32))
+        (x, _m, _i, sums, jstat), actions = jax.lax.scan(
+            body, init, jnp.arange(L))
+
+        gate = nn.sigmoid(x @ self.mlpgate_w + self.mlpgate_b)
+        h = _layer_norm(x, self.mlp_ln_scale, self.mlp_ln_bias)
+        x = x + gate * self.mlp2(nn.silu(self.mlp1(h)))
+        new_state = {"sums": sums, "count": count + 1,
+                     "actions": jnp.where(first, actions,
+                                          state["actions"])}
+        return x, new_state
+
     def _fused_scan(self, x, valid, policy_mean):
         from asr_model_tpu.ops.pallas.sheath_kernel import fused_sheath_scan
 

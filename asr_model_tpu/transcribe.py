@@ -168,6 +168,17 @@ class Transcriber:
                 waveform=feats.get("waveform"), beam_size=k,
                 max_new_tokens=max_new_tokens or self.max_new_tokens,
                 length_penalty=self.length_penalty)
+        elif self.model.cfg.streaming and not self.model.cfg.chained_blocks:
+            # streaming models take the O(1)-per-token incremental
+            # decode (token-exact vs the buffer path,
+            # tests/test_stream_decode.py)
+            from asr_model_tpu.models.generate import greedy_decode_stream
+            ids = greedy_decode_stream(self.model, self.variables,
+                                       spectrogram=feats.get("spectrogram"),
+                                       pitch=feats.get("pitch"),
+                                       waveform=feats.get("waveform"),
+                                       max_new_tokens=max_new_tokens
+                                       or self.max_new_tokens)
         else:
             ids = greedy_decode(self.model, self.variables,
                                 spectrogram=feats.get("spectrogram"),

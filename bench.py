@@ -52,6 +52,11 @@ def main():
     # --batch 64 measures the max-throughput serving configuration
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--max-new-tokens", type=int, default=64)
+    ap.add_argument("--streaming", action="store_true",
+                    help="benchmark the streaming-causal variant with "
+                         "the O(1)-per-token incremental decode "
+                         "(greedy_decode_stream) instead of the parity "
+                         "model's full-prefix buffer decode")
     ap.add_argument("--pitch-estimator", type=str, default="yin",
                     choices=["yin", "dio"],
                     help="yin = fully on-device frontend (headline); "
@@ -76,8 +81,11 @@ def main():
     audio = jnp.asarray(audio_np)
 
     dims = Dimensions()          # flagship: 40k vocab, 512 dims, 4 heads
-    model = Model(param=dims, cfg=ModelConfig(dims=dims))
+    model = Model(param=dims, cfg=ModelConfig(dims=dims,
+                                              streaming=args.streaming))
     frame_period = hop / sr * 1000.0
+    if args.streaming:
+        from asr_model_tpu.models.generate import greedy_decode_stream
 
     @jax.jit
     def frontend(audio):
@@ -113,14 +121,16 @@ def main():
             np.pad(f0, ((0, 0), (0, 0), (0, pad)))[..., :T],
             jnp.bfloat16)
 
+    decode_fn = greedy_decode_stream if args.streaming else greedy_decode
+
     def transcribe(audio):
         mel, f0, wav = frontend(audio)
         if args.pitch_estimator == "dio":
             f0 = host_pitch(audio_np, mel.shape[-1])
-        return greedy_decode(model, variables, spectrogram=mel,
-                             pitch=f0, waveform=wav,
-                             max_new_tokens=max_new_tokens,
-                             suppress_eos=True)
+        return decode_fn(model, variables, spectrogram=mel,
+                         pitch=f0, waveform=wav,
+                         max_new_tokens=max_new_tokens,
+                         suppress_eos=True)
 
     ids = np.asarray(transcribe(audio))    # compile + sync
 
@@ -149,7 +159,9 @@ def main():
                   f"log-mel + {args.pitch_estimator.upper()} pitch + "
                   "waveform frontend, 3-modality "
                   f"encode, greedy decode {max_new_tokens} tokens, "
-                  f"flagship 512d/40k, bf16, batch {batch})",
+                  f"flagship 512d/40k, bf16, batch {batch}"
+                  + (", streaming incremental decode"
+                     if args.streaming else "") + ")",
         "value": round(rtfx, 3),
         "unit": "x realtime",
         "vs_baseline": round(vs_baseline, 3),
