@@ -496,12 +496,26 @@ def evaluate_model(model: Model, tokenizer, eval_loader, variables,
         loss, _ = eval_step(params, batch_stats, dbatch)
         eval_loss += float(loss)
         batches += 1
-        gen = greedy_decode(
-            model, {"params": params, "batch_stats": batch_stats},
-            spectrogram=dbatch.get("spectrogram"),
-            pitch=dbatch.get("pitch"), waveform=dbatch.get("waveform"),
-            pitch_tokens=dbatch.get("pitch_tokens"),
-            max_new_tokens=max_new_tokens, suppress_eos=suppress_eos)
+        if model.cfg.streaming and not model.cfg.chained_blocks \
+                and dbatch.get("pitch_tokens") is None:
+            # streaming models: O(1)-per-token incremental decode
+            # (token-exact vs the buffer path, test_stream_decode.py)
+            from asr_model_tpu.models.generate import greedy_decode_stream
+            gen = greedy_decode_stream(
+                model, {"params": params, "batch_stats": batch_stats},
+                spectrogram=dbatch.get("spectrogram"),
+                pitch=dbatch.get("pitch"),
+                waveform=dbatch.get("waveform"),
+                max_new_tokens=max_new_tokens,
+                suppress_eos=suppress_eos)
+        else:
+            gen = greedy_decode(
+                model, {"params": params, "batch_stats": batch_stats},
+                spectrogram=dbatch.get("spectrogram"),
+                pitch=dbatch.get("pitch"),
+                waveform=dbatch.get("waveform"),
+                pitch_tokens=dbatch.get("pitch_tokens"),
+                max_new_tokens=max_new_tokens, suppress_eos=suppress_eos)
         all_p.extend(np.asarray(gen).tolist())
         all_l.extend(np.asarray(batch["labels"]).tolist())
 
