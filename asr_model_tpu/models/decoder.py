@@ -130,6 +130,68 @@ class Residual(nn.Module):
         return x + self._mlp(x)
 
 
+def encode_xa(blk: "Residual", xa: Dict[str, jnp.ndarray], pt=None,
+              masks: Optional[Dict[str, jnp.ndarray]] = None
+              ) -> Dict[str, jnp.ndarray]:
+    """The per-block modality re-encodings i(xa[k]) (model.py:619-621),
+    as a standalone function of a bound ``Residual`` so the pipeline-
+    parallel schedule (parallel/pipeline.py) runs the exact same flow
+    as ``Processor._encode_xa``."""
+    masks = masks or {}
+    return {k: blk(xa[k], pt=pt, x_valid=masks.get(k))
+            for k in ("a", "b", "c") if xa.get(k) is not None}
+
+
+def run_block(blk: "Residual", x, xa_enc, *, streaming: bool,
+              causal_all: bool, pt=None, text_valid=None,
+              xa_masks: Optional[Dict[str, jnp.ndarray]] = None,
+              xa_kv: Optional[Dict] = None):
+    """One block's a/b/c/d/e/(d||e->g) flow (model.py:617-626), shared
+    by ``Processor._run_block`` and the pipeline-parallel stage.
+
+    Reference parity: only the ``a`` call is causal (model.py:618);
+    ``causal_all`` masks every decoder self-attention; ``streaming``
+    additionally makes MSheath pooling prefix-causal and masks the d‖e
+    cross — the full causal-consistency mode.  Returns (d, g)."""
+    T = x.shape[1]
+    xa_masks = xa_masks or {}
+    st = streaming
+    ca = causal_all or st
+    if xa_kv is not None:
+        a = blk(x, causal=True, pt=pt, x_valid=text_valid, streaming=st)
+        b = blk(a, causal=ca, cached_kv=xa_kv.get("a"),
+                x_valid=text_valid, streaming=st,
+                xa_valid=xa_masks.get("a")) if "a" in xa_kv else a
+        c = blk(b, causal=ca, cached_kv=xa_kv.get("b"),
+                x_valid=text_valid, streaming=st,
+                xa_valid=xa_masks.get("b")) if "b" in xa_kv else b
+        d = blk(c, causal=ca, cached_kv=xa_kv.get("c"),
+                x_valid=text_valid, streaming=st,
+                xa_valid=xa_masks.get("c")) if "c" in xa_kv else c
+        e = a + b + c
+        f = jnp.concatenate([d, e], axis=1)
+        g = blk(f[:, :T], causal=ca, xa=f[:, T:], x_valid=text_valid,
+                xa_valid=text_valid, streaming=st,
+                cross_causal=st, xa_streaming=st)
+        return d, g
+    a = blk(x, causal=True, pt=pt, x_valid=text_valid, streaming=st)
+    b = blk(a, causal=ca, xa=xa_enc.get("a"), pt=pt,
+            x_valid=text_valid, streaming=st,
+            xa_valid=xa_masks.get("a")) if "a" in xa_enc else a
+    c = blk(b, causal=ca, xa=xa_enc.get("b"), pt=pt,
+            x_valid=text_valid, streaming=st,
+            xa_valid=xa_masks.get("b")) if "b" in xa_enc else b
+    d = blk(c, causal=ca, xa=xa_enc.get("c"), pt=pt,
+            x_valid=text_valid, streaming=st,
+            xa_valid=xa_masks.get("c")) if "c" in xa_enc else c
+    e = a + b + c
+    f = jnp.concatenate([d, e], axis=1)
+    g = blk(f[:, :T], causal=ca, xa=f[:, T:], x_valid=text_valid,
+            xa_valid=text_valid, streaming=st,
+            cross_causal=st, xa_streaming=st)
+    return d, g
+
+
 def _update_cache(cache, new, pos):
     """Write a (B, H, 1, hd) slice at time index ``pos`` of a fixed
     (B, H, Tmax, hd) cache buffer."""
@@ -238,9 +300,7 @@ class Processor(nn.Module):
         """The per-block modality re-encodings i(xa[k]) (model.py:619-621).
         Exposed separately so decode can compute them once per utterance
         instead of once per emitted token."""
-        masks = masks or {}
-        return {k: blk(xa[k], pt=pt, x_valid=masks.get(k))
-                for k in ("a", "b", "c") if xa.get(k) is not None}
+        return encode_xa(blk, xa, pt=pt, masks=masks)
 
     def _precompute_cross(self, blk, xa_enc,
                           masks: Optional[Dict[str, jnp.ndarray]] = None):
@@ -253,48 +313,39 @@ class Processor(nn.Module):
 
     def _run_block(self, blk, x, xa_enc, mask_bits, pt=None,
                    text_valid=None, xa_masks=None, xa_kv=None):
-        T = x.shape[1]
-        xa_masks = xa_masks or {}
-        # reference parity: only the `a` call is causal (model.py:618);
-        # causal_all=True masks every decoder self-attention so
-        # free-running decode matches training (see BENCH_NOTES);
-        # streaming=True additionally makes MSheath pooling prefix-causal
-        # and masks the d‖e cross — the full causal-consistency mode.
-        st = self.streaming
-        ca = self.causal_all or st
-        if xa_kv is not None:
-            a = blk(x, causal=True, pt=pt, x_valid=text_valid, streaming=st)
-            b = blk(a, causal=ca, cached_kv=xa_kv.get("a"),
-                    x_valid=text_valid, streaming=st,
-                    xa_valid=xa_masks.get("a")) if "a" in xa_kv else a
-            c = blk(b, causal=ca, cached_kv=xa_kv.get("b"),
-                    x_valid=text_valid, streaming=st,
-                    xa_valid=xa_masks.get("b")) if "b" in xa_kv else b
-            d = blk(c, causal=ca, cached_kv=xa_kv.get("c"),
-                    x_valid=text_valid, streaming=st,
-                    xa_valid=xa_masks.get("c")) if "c" in xa_kv else c
-            e = a + b + c
-            f = jnp.concatenate([d, e], axis=1)
-            g = blk(f[:, :T], causal=ca, xa=f[:, T:], x_valid=text_valid,
-                    xa_valid=text_valid, streaming=st,
-                    cross_causal=st, xa_streaming=st)
-            return d, g
-        a = blk(x, causal=True, pt=pt, x_valid=text_valid, streaming=st)
-        b = blk(a, causal=ca, xa=xa_enc.get("a"), pt=pt,
-                x_valid=text_valid, streaming=st,
-                xa_valid=xa_masks.get("a")) if "a" in xa_enc else a
-        c = blk(b, causal=ca, xa=xa_enc.get("b"), pt=pt,
-                x_valid=text_valid, streaming=st,
-                xa_valid=xa_masks.get("b")) if "b" in xa_enc else b
-        d = blk(c, causal=ca, xa=xa_enc.get("c"), pt=pt,
-                x_valid=text_valid, streaming=st,
-                xa_valid=xa_masks.get("c")) if "c" in xa_enc else c
-        e = a + b + c
-        f = jnp.concatenate([d, e], axis=1)
-        g = blk(f[:, :T], causal=ca, xa=f[:, T:], x_valid=text_valid,
-                xa_valid=text_valid, streaming=st,
-                cross_causal=st, xa_streaming=st)
-        return d, g
+        del mask_bits
+        return run_block(blk, x, xa_enc, streaming=self.streaming,
+                         causal_all=self.causal_all, pt=pt,
+                         text_valid=text_valid, xa_masks=xa_masks,
+                         xa_kv=xa_kv)
+
+    def embed(self, ids: jnp.ndarray, pt_raw: Optional[jnp.ndarray] = None):
+        """The pre-block part of ``__call__``: token + (optional) pitch-
+        token + learned position embeddings.  Returns (x, pt_emb) —
+        split out so the pipeline-parallel schedule can run it outside
+        the sharded block loop (parallel/pipeline.py)."""
+        T = ids.shape[1]
+        x1 = self.token(ids)
+        if pt_raw is not None:
+            pt_ids = quantize_pitch(pt_raw, self.pitch_token_bins)
+            pt_emb = self.pitch_tokens(pt_ids)
+            x1 = x1 + pt_emb
+        else:
+            pt_emb = None
+        return x1 + self.position[:T], pt_emb
+
+    def logits_head(self, d: jnp.ndarray, g: jnp.ndarray, seq: bool = False,
+                    logits_position: Optional[jnp.ndarray] = None
+                    ) -> jnp.ndarray:
+        """The post-block part of ``__call__``: blend + final norm +
+        weight-tied vocab projection (model.py:628-629)."""
+        blend = nn.sigmoid(self.blend)
+        out = g if seq else blend * d + (1 - blend) * g
+        if logits_position is not None:
+            out = jax.lax.dynamic_slice_in_dim(
+                out, logits_position, 1, axis=1)
+        logits = self.ln(out) @ self.token.embedding.T
+        return logits.astype(jnp.float32)
 
     def init_stream_state(self, batch: int, t_max: int, dtype):
         """Per-site incremental state for decode_stream_step: the five
@@ -360,19 +411,7 @@ class Processor(nn.Module):
                  xa_preencoded: bool = False,
                  logits_position: Optional[jnp.ndarray] = None,
                  xa_kv: Optional[Dict] = None):
-        blend = nn.sigmoid(self.blend)
-        T = ids.shape[1]
-        x1 = self.token(ids)
-
-        pt_raw = xa.get("pt")
-        if pt_raw is not None:
-            pt_ids = quantize_pitch(pt_raw, self.pitch_token_bins)
-            x1 = x1 + self.pitch_tokens(pt_ids)
-            pt_emb = self.pitch_tokens(pt_ids)
-        else:
-            pt_emb = None
-
-        x = x1 + self.position[:T]
+        x, pt_emb = self.embed(ids, pt_raw=xa.get("pt"))
 
         blocks = self.block if self.chained else self.block[-1:]
         d = g = None
@@ -392,13 +431,9 @@ class Processor(nn.Module):
             if self.chained:
                 x = g
 
-        out = g if seq else blend * d + (1 - blend) * g
-        if logits_position is not None:
-            # greedy decode only consumes one position's logits — slice
-            # BEFORE the (d x vocab) projection, which dominates decode
-            # FLOPs (40k vocab); all norms here are position-wise so
-            # slicing first is numerics-exact
-            out = jax.lax.dynamic_slice_in_dim(
-                out, logits_position, 1, axis=1)       # (B, 1, d)
-        logits = self.ln(out) @ self.token.embedding.T
-        return logits.astype(jnp.float32)
+        # greedy decode only consumes one position's logits — head()
+        # slices BEFORE the (d x vocab) projection, which dominates
+        # decode FLOPs (40k vocab); all norms there are position-wise
+        # so slicing first is numerics-exact
+        return self.logits_head(d, g, seq=seq,
+                                logits_position=logits_position)
