@@ -293,3 +293,35 @@ def test_greedy_decode_sp_matches_plain():
                                       spectrogram=spec, max_new_tokens=6,
                                       suppress_eos=True))
     np.testing.assert_array_equal(got, want)
+
+
+def test_depthwise_conv_grad_partition_safe():
+    """Regression: XLA's SPMD partitioner scales the KERNEL grad of a
+    grouped (depthwise) conv by the product of mesh axes the operands
+    are replicated over (measured 4x on a (data:2, pipe:4) mesh, jax
+    0.9.0 CPU) — plain jit-SPMD, no shard_map involved.  The model's
+    depthwise convs route through tlayers.dwconv_same (custom_vjp with
+    per-tap-einsum dk) which must stay exact under any mesh."""
+    from jax.sharding import Mesh
+    from asr_model_tpu.models import tlayers
+
+    B, T, C, K = 4, 10, 6, 3
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(B, T, C), jnp.float32)
+    conv = tlayers.Conv1d(C, C, K, groups=C, name="dw")
+    v = conv.init(jax.random.key(0), x)
+
+    def loss(v, x):
+        return jnp.tanh(conv.apply(v, x)).sum()
+
+    g_ref = jax.jit(jax.grad(loss, argnums=(0, 1)))(v, x)
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(2, 4),
+                ("data", "pipe"))
+    xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+    vs = jax.device_put(v, jax.tree.map(
+        lambda _: NamedSharding(mesh, P()), v))
+    g_mesh = jax.jit(jax.grad(loss, argnums=(0, 1)))(vs, xs)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_mesh)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
