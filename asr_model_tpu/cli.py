@@ -78,6 +78,14 @@ def build_argparser() -> argparse.ArgumentParser:
                         "sharding)")
     p.add_argument("--mesh-seq", type=int, default=1,
                    help="sequence-parallel mesh axis size")
+    p.add_argument("--mesh-pipe", type=int, default=1,
+                   help="pipeline-parallel stages over the chained "
+                        "block stack (needs --chained-blocks and "
+                        "layer %% stages == 0); composes with "
+                        "--mesh-data")
+    p.add_argument("--microbatches", type=int, default=1,
+                   help="GPipe microbatches per step under --mesh-pipe "
+                        "(bubble fraction (P-1)/(M+P-1))")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize the forward in the backward "
                         "(jax.checkpoint) — fits larger batches in HBM")
@@ -149,20 +157,34 @@ def main(argv=None):
                       checkpoint_dir=args.checkpoint_dir or log_dir,
                       log_dir=log_dir, generate=args.generate,
                       mesh_data=args.mesh_data, mesh_model=args.mesh_model,
-                      mesh_seq=args.mesh_seq, remat=args.remat,
+                      mesh_seq=args.mesh_seq, mesh_pipe=args.mesh_pipe,
+                      microbatches=args.microbatches, remat=args.remat,
                       remat_policy=args.remat_policy))
 
-    n_mesh = args.mesh_data * args.mesh_model * args.mesh_seq
+    n_mesh = (args.mesh_data * args.mesh_model * args.mesh_seq
+              * args.mesh_pipe)
     if n_mesh > 1:
         import jax
         if len(jax.devices()) < n_mesh:
             raise SystemExit(
-                f"mesh {args.mesh_data}x{args.mesh_model}x{args.mesh_seq} "
-                f"needs {n_mesh} devices, have {len(jax.devices())}")
+                f"mesh {args.mesh_data}x{args.mesh_model}x{args.mesh_seq}"
+                f"x{args.mesh_pipe} needs {n_mesh} devices, have "
+                f"{len(jax.devices())}")
         if args.batch_size % args.mesh_data != 0:
             raise SystemExit(
                 f"--batch-size {args.batch_size} must be a multiple of "
                 f"--mesh-data {args.mesh_data}")
+    if args.mesh_pipe > 1:
+        if not args.chained_blocks:
+            raise SystemExit("--mesh-pipe needs --chained-blocks")
+        if args.layer % args.mesh_pipe:
+            raise SystemExit(
+                f"--layer {args.layer} not divisible by --mesh-pipe "
+                f"{args.mesh_pipe}")
+        if args.batch_size % args.microbatches:
+            raise SystemExit(
+                f"--batch-size {args.batch_size} must be a multiple of "
+                f"--microbatches {args.microbatches}")
 
     if args.synthetic:
         dataset = SyntheticDataset(n=args.synthetic, tokenizer=tokenizer,

@@ -154,6 +154,14 @@ class RunConfig:
     mesh_data: int = 1
     mesh_model: int = 1
     mesh_seq: int = 1
+    # pipeline parallelism over the chained block stack
+    # (parallel/pipeline.py); composes with mesh_data only.  Requires
+    # chained_blocks=True and layer % mesh_pipe == 0.
+    mesh_pipe: int = 1
+    # GPipe microbatches per step (bubble = (P-1)/(M+P-1)); the
+    # microbatch is MSheath's jump-control unit (gradient-accumulation
+    # semantics — pipeline.py module docstring)
+    microbatches: int = 1
 
 
 @dataclass(frozen=True)

@@ -104,7 +104,15 @@ class Rotary(nn.Module):
         f = t[:, None] * freqs[None, :]                      # (T, half)
 
         # magnitude from the conditioning tensor: (B, T, 1) -> (B,1,T,1)
-        m = jnp.linalg.norm(cond, axis=-1, keepdims=True)[:, None]
+        # safe norm: ||c|| has a 0/0 = NaN gradient at c == 0, and a
+        # masked-out all-zero row (e.g. a pipeline bubble tick,
+        # parallel/pipeline.py) would leak that NaN into the weight
+        # grads through the zero-cotangent chain rule.  Identical
+        # values to jnp.linalg.norm for nonzero rows; subgradient 0 at
+        # the (non-differentiable) origin.
+        sq = jnp.sum(cond * cond, axis=-1, keepdims=True)[:, None]
+        nz = sq > 0
+        m = jnp.where(nz, jnp.sqrt(jnp.where(nz, sq, 1.0)), 0.0)
 
         cos = m * jnp.cos(f)                                 # (B,1,T,half)
         sin = m * jnp.sin(f)

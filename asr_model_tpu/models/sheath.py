@@ -83,6 +83,42 @@ def _pallas_sheath_enabled() -> bool:
     return _PALLAS_SHEATH == "on" or default_platform() == "tpu"
 
 
+# Trace-time context: while active, the batch-mean jump-control scalars
+# (policy_mean, forced-skip potential — reference parity, model.py:478,
+# whose .item() control admits only whole-batch scalars) are
+# additionally pmean'd over the named MAPPED axes.  The jit-SPMD DP
+# path gets global batch means for free (XLA partitions jnp.mean with
+# collectives); a shard_map stage (parallel/pipeline.py) is a
+# per-device program, so without this its control scalars would be
+# per-shard means and the pipelined forward would diverge from the
+# unsharded one.  Shards are equal-sized under shard_map, so
+# pmean-of-means is the exact global mean.
+_BATCH_PMEAN: list = []
+
+
+@contextlib.contextmanager
+def batch_pmean(*axes: str):
+    _BATCH_PMEAN.append(axes)
+    try:
+        yield
+    finally:
+        _BATCH_PMEAN.pop()
+
+
+def _ctx_pmean(v):
+    if _BATCH_PMEAN:
+        for ax in _BATCH_PMEAN[-1]:
+            v = jax.lax.pmean(v, ax)
+    return v
+
+
+def _ctx_psum(v):
+    if _BATCH_PMEAN:
+        for ax in _BATCH_PMEAN[-1]:
+            v = jax.lax.psum(v, ax)
+    return v
+
+
 def _layer_norm(x, scale, bias, eps=1e-5):
     mu = jnp.mean(x, axis=-1, keepdims=True)
     var = jnp.var(x, axis=-1, keepdims=True)
@@ -232,7 +268,7 @@ class MSheath(nn.Module):
         else:
             pooled = _masked_mean(x, valid, axis=1)[:, 0]    # (b, d)
         policy = self.pnet(pooled)                           # (b, 3)
-        policy_mean = jnp.mean(policy, axis=0)               # (3,) == policy[0] at B=1
+        policy_mean = _ctx_pmean(jnp.mean(policy, axis=0))   # (3,) == policy[0] at B=1
 
         if self.has_rng("gumbel"):
             keys = jax.random.split(self.make_rng("gumbel"), L)
@@ -250,7 +286,7 @@ class MSheath(nn.Module):
         # they are matmul-shaped and not dispatch-bound.
         if keys is None and not streaming and not self.mini_hc \
                 and d % 128 == 0 and x.size <= 400_000 \
-                and _pallas_sheath_enabled():
+                and not _BATCH_PMEAN and _pallas_sheath_enabled():
             x, jstat, actions = self._fused_scan(x, valid, policy_mean)
         else:
             x, jstat, actions = self._xla_scan(
@@ -421,9 +457,17 @@ class MSheath(nn.Module):
             mem_w_new = mem_v * mem_w + (1 - mem_v) * mem
 
             if streaming:
-                potential = jnp.mean(ion[:, 0])              # position 0 only
+                potential = _ctx_pmean(jnp.mean(ion[:, 0]))  # position 0 only
             elif valid is None:
-                potential = jnp.mean(ion)
+                potential = _ctx_pmean(jnp.mean(ion))
+            elif _BATCH_PMEAN:
+                # masked global mean across shards: shards may hold
+                # different valid counts, so combine sums and counts
+                # (pmean of per-shard ratios would be biased)
+                m = valid.astype(ion.dtype)[..., None]
+                s = _ctx_psum(jnp.sum(ion * m))
+                n = _ctx_psum(jnp.sum(m))
+                potential = s / jnp.maximum(n, 1.0)
             else:
                 potential = _masked_mean(ion, valid, axis=(0, 1, 2))[0, 0, 0]
 

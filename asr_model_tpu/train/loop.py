@@ -288,7 +288,36 @@ def train_and_evaluate(
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
 
-    tx, sched = make_optimizer(cfg, params)
+    pipe = getattr(run, "mesh_pipe", 1)
+    pp = None
+    if pipe > 1:
+        # PP(+DP): GPipe schedule over a ('data', 'pipe') mesh
+        # (parallel/pipeline.py).  Params and optimizer state live in
+        # the pipeline layout for the whole run; checkpoints saved by
+        # this branch are in that layout too, so --resume requires the
+        # same mesh_pipe (cross-topology moves: from_pipeline_params on
+        # the saved params + a fresh optimizer).
+        from asr_model_tpu.parallel import pipeline as pp
+        if not model.cfg.chained_blocks:
+            raise ValueError("mesh_pipe needs chained_blocks=True "
+                             "(parity mode runs a single live block)")
+        if run.mesh_model != 1 or run.mesh_seq != 1:
+            raise ValueError("mesh_pipe composes with mesh_data only "
+                             "(got mesh_model=%d mesh_seq=%d)"
+                             % (run.mesh_model, run.mesh_seq))
+        if run.batch_size % run.microbatches:
+            raise ValueError(f"batch_size {run.batch_size} must divide "
+                             f"into microbatches {run.microbatches}")
+        if (run.batch_size // run.microbatches) % max(run.mesh_data, 1):
+            raise ValueError(
+                f"microbatch rows {run.batch_size // run.microbatches} "
+                f"must divide mesh_data {run.mesh_data}")
+
+    if pp:
+        params = pp.to_pipeline_params(params)
+        tx, sched = pp.make_pp_optimizer(cfg, params)
+    else:
+        tx, sched = make_optimizer(cfg, params)
     opt_state = tx.init(params)
     global_step = 0
 
@@ -303,8 +332,24 @@ def train_and_evaluate(
         logger.info("restored checkpoint at step %d from %s",
                     global_step, resume_from)
 
-    mesh = _maybe_mesh(run)
-    if mesh is not None:
+    if pp:
+        mesh = pp.make_pipe_mesh(pipe=pipe, data=run.mesh_data)
+        params = pp.shard_pipeline_params(params, mesh)
+        opt_state = pp.shard_pp_opt_state(opt_state, mesh)
+        from jax.sharding import NamedSharding, PartitionSpec
+        batch_stats = jax.device_put(
+            batch_stats, jax.tree.map(
+                lambda _: NamedSharding(mesh, PartitionSpec()),
+                batch_stats))
+        rng = jax.device_put(rng, NamedSharding(mesh, PartitionSpec()))
+        logger.info("pipeline training on mesh data:%d x pipe:%d, "
+                    "%d microbatches", run.mesh_data, pipe,
+                    run.microbatches)
+    else:
+        mesh = _maybe_mesh(run)
+    if pp:
+        pass
+    elif mesh is not None:
         # DP(+TP) training: place params per the TP rules, replicate the
         # factored optimizer state and batch norm stats, and let the
         # SPMD partitioner distribute the (identical) step program.
@@ -322,10 +367,19 @@ def train_and_evaluate(
         logger.info("training on mesh data:%d x model:%d x seq:%d",
                     run.mesh_data, run.mesh_model, run.mesh_seq)
 
-    train_step = make_train_step(
-        model, tx, run.clip_grad_norm,
-        remat=getattr(run, "remat", False),
-        remat_policy=getattr(run, "remat_policy", "dots"))
+    if pp:
+        train_step = pp.make_pp_train_step(
+            model, tx, mesh, run.microbatches, run.clip_grad_norm,
+            remat=getattr(run, "remat", False))
+        # eval/decode run on the unsharded layout: unstack on demand
+        # (slices of the 'pipe'-sharded stack — XLA gathers per leaf)
+        unstack = jax.jit(pp.from_pipeline_params)
+    else:
+        train_step = make_train_step(
+            model, tx, run.clip_grad_norm,
+            remat=getattr(run, "remat", False),
+            remat_policy=getattr(run, "remat_policy", "dots"))
+        unstack = None
     eval_step = make_eval_step(model)
     grad_diag = make_grad_diagnostics(model) if log_detail else None
 
@@ -341,6 +395,7 @@ def train_and_evaluate(
     steps_this_run = 0            # Loss/train averages steps of THIS run
     train_iter = iter(train_loader)
     samples_per_sec = 0.0
+    _pp_skips = 0
 
     while global_step < run.max_steps:
         try:
@@ -348,6 +403,29 @@ def train_and_evaluate(
         except StopIteration:
             train_iter = iter(train_loader)
             batch = next(train_iter)
+
+        if pp:
+            # GPipe needs a fixed microbatch grid: rows must split into
+            # `microbatches` equal groups, each divisible by the data
+            # axis.  Ragged tail batches (dataset % batch_size) are
+            # skipped — the DP path replicates them instead, but a
+            # shard_map'd schedule has no ragged story (and a one-off
+            # shape would recompile the whole pipeline program anyway).
+            rows = len(np.asarray(batch["text_ids"]))
+            if (rows % run.microbatches
+                    or (rows // run.microbatches) % max(run.mesh_data, 1)):
+                _pp_skips += 1
+                if _pp_skips > 1000:
+                    raise ValueError(
+                        "every batch is ragged for the pipeline grid "
+                        f"(microbatches={run.microbatches} x "
+                        f"data={run.mesh_data}); fix batch_size")
+                logger.warning(
+                    "skipping ragged batch of %d rows under pipeline "
+                    "parallelism (need microbatches=%d x data=%d grid)",
+                    rows, run.microbatches, run.mesh_data)
+                continue
+            _pp_skips = 0
 
         start = time.time()
         dbatch = _device_batch(batch, mesh)
@@ -408,16 +486,17 @@ def train_and_evaluate(
         if do_eval:
             eval_start = time.time()
             eval_loss, n_eval, batches = 0.0, 0, 0
+            eparams = unstack(params) if pp else params
             all_p, all_l = [], []
             for ebatch in eval_loader:
                 debatch = _device_batch(ebatch, mesh)
-                l, preds = eval_step(params, batch_stats, debatch)
+                l, preds = eval_step(eparams, batch_stats, debatch)
                 eval_loss += float(l)
                 batches += 1
                 n_eval += len(np.asarray(ebatch["text_ids"]))
                 if run.generate:
                     gen = greedy_decode(
-                        model, {"params": params,
+                        model, {"params": eparams,
                                 "batch_stats": batch_stats},
                         spectrogram=debatch.get("spectrogram"),
                         pitch=debatch.get("pitch"),
@@ -459,6 +538,19 @@ def train_and_evaluate(
 
     if profile_dir:
         jax.profiler.stop_trace()
+    if pp:
+        # canonical (unsharded) layout for the product surface: the
+        # returned variables and final_model.msgpack feed Transcriber /
+        # single-device resume, whose targets are the unsharded tree.
+        # Mid-run checkpoint_step_* files stay in the pipeline layout
+        # (same-topology resume keeps optimizer state); the final file
+        # carries a FRESH unsharded optimizer state — resuming from it
+        # restarts optimizer statistics (documented trade; use the
+        # step files to continue a PP run).
+        params = unstack(params)
+        if run.save_interval > 0:
+            tx_un, _ = make_optimizer(cfg, params)
+            opt_state = tx_un.init(params)
     if run.save_interval > 0:
         ckpt.save_checkpoint(
             os.path.join(run.checkpoint_dir, "final_model.msgpack"),
