@@ -60,6 +60,12 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--causal-all", action="store_true",
                    help="causal mask on every decoder self-attention "
                         "(implied by --streaming)")
+    p.add_argument("--moe-experts", type=int, default=0,
+                   help="replace each residual block's dense MLP with "
+                        "N routed experts of the same shape "
+                        "(models/moe.py); 0 = dense parity MLP")
+    p.add_argument("--moe-top-k", type=int, default=2,
+                   help="experts per token under --moe-experts")
     p.add_argument("--pitch-tokens", action="store_true")
     p.add_argument("--pitch-estimator", type=str, default="dio",
                    choices=["dio", "yin"],
@@ -78,6 +84,10 @@ def build_argparser() -> argparse.ArgumentParser:
                         "sharding)")
     p.add_argument("--mesh-seq", type=int, default=1,
                    help="sequence-parallel mesh axis size")
+    p.add_argument("--mesh-expert", type=int, default=1,
+                   help="expert-parallel mesh axis size (shards "
+                        "--moe-experts weights; dispatch rides an "
+                        "all-to-all)")
     p.add_argument("--mesh-pipe", type=int, default=1,
                    help="pipeline-parallel stages over the chained "
                         "block stack (needs --chained-blocks and "
@@ -93,6 +103,12 @@ def build_argparser() -> argparse.ArgumentParser:
                    choices=["dots", "full"],
                    help="remat save policy: matmul outputs (dots) or "
                         "nothing (full)")
+    p.add_argument("--train-dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="mixed-precision training: bfloat16 runs the "
+                        "forward/backward at the MXU's native bf16 rate "
+                        "with f32 master weights, optimizer state, and "
+                        "loss (train/loop.py)")
     return p
 
 
@@ -145,7 +161,9 @@ def main(argv=None):
     cfg = Config(
         model=ModelConfig(dims=dims, chained_blocks=args.chained_blocks,
                           streaming=args.streaming,
-                          causal_all=args.causal_all),
+                          causal_all=args.causal_all,
+                          moe_experts=args.moe_experts,
+                          moe_top_k=args.moe_top_k),
         data=DataConfig(**{k: v for k, v in extract_args.items()
                            if k in DataConfig.__dataclass_fields__}),
         optim=OptimConfig(lr=args.lr, warmup_steps=args.warmup_steps,
@@ -157,23 +175,32 @@ def main(argv=None):
                       checkpoint_dir=args.checkpoint_dir or log_dir,
                       log_dir=log_dir, generate=args.generate,
                       mesh_data=args.mesh_data, mesh_model=args.mesh_model,
-                      mesh_seq=args.mesh_seq, mesh_pipe=args.mesh_pipe,
+                      mesh_seq=args.mesh_seq, mesh_expert=args.mesh_expert,
+                      mesh_pipe=args.mesh_pipe,
                       microbatches=args.microbatches, remat=args.remat,
-                      remat_policy=args.remat_policy))
+                      remat_policy=args.remat_policy,
+                      train_dtype=args.train_dtype))
 
     n_mesh = (args.mesh_data * args.mesh_model * args.mesh_seq
-              * args.mesh_pipe)
+              * args.mesh_expert * args.mesh_pipe)
     if n_mesh > 1:
         import jax
         if len(jax.devices()) < n_mesh:
             raise SystemExit(
                 f"mesh {args.mesh_data}x{args.mesh_model}x{args.mesh_seq}"
-                f"x{args.mesh_pipe} needs {n_mesh} devices, have "
-                f"{len(jax.devices())}")
+                f"x{args.mesh_expert}x{args.mesh_pipe} needs {n_mesh} "
+                f"devices, have {len(jax.devices())}")
         if args.batch_size % args.mesh_data != 0:
             raise SystemExit(
                 f"--batch-size {args.batch_size} must be a multiple of "
                 f"--mesh-data {args.mesh_data}")
+    if args.mesh_expert > 1:
+        if args.moe_experts <= 0:
+            raise SystemExit("--mesh-expert needs --moe-experts > 0")
+        if args.moe_experts % args.mesh_expert:
+            raise SystemExit(
+                f"--moe-experts {args.moe_experts} must be a multiple "
+                f"of --mesh-expert {args.mesh_expert}")
     if args.mesh_pipe > 1:
         if not args.chained_blocks:
             raise SystemExit("--mesh-pipe needs --chained-blocks")

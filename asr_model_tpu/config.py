@@ -73,6 +73,14 @@ class ModelConfig:
     msheath_mem: int = 64        # v_gate memory slots (model.py:407)
     pitch_token_bins: int = 256  # quantize_pitch bins (essentials.py:416)
     pitch_token_vocab: int = 1024  # pitch-token embedding rows (model.py:593)
+    # Mixture-of-experts MLP (models/moe.py) — a capability beyond the
+    # reference: 0 = dense parity MLP; >0 replaces each residual
+    # block's MLP pair with E routed experts of the same shape.
+    # Experts shard over an 'expert' mesh axis (EP, sharding.py).
+    moe_experts: int = 0
+    moe_top_k: int = 2
+    moe_capacity_factor: float = 1.25
+    moe_aux_weight: float = 1e-2  # load-balance loss weight (train step)
 
 
 @dataclass(frozen=True)
@@ -148,12 +156,20 @@ class RunConfig:
     # "dots" saves matmul outputs; "full" saves nothing (big batches)
     remat: bool = False
     remat_policy: str = "dots"
+    # mixed-precision training: "bfloat16" casts params/activations to
+    # bf16 inside the loss (f32 master weights + optimizer state; loss
+    # and grad-norm accumulate in f32) — the MXU's native rate with
+    # halved activation HBM.  "float32" is the parity default.
+    train_dtype: str = "float32"
     max_new_tokens: int = 150
     seed: int = 0
     # mesh axes sizes; 1 = disabled. data*model*seq must divide device count.
     mesh_data: int = 1
     mesh_model: int = 1
     mesh_seq: int = 1
+    # expert-parallel axis for MoE models (ModelConfig.moe_experts>0):
+    # expert weights shard over it, dispatch rides an ICI all-to-all
+    mesh_expert: int = 1
     # pipeline parallelism over the chained block stack
     # (parallel/pipeline.py); composes with mesh_data only.  Requires
     # chained_blocks=True and layer % mesh_pipe == 0.

@@ -50,6 +50,7 @@ from asr_model_tpu.models import tlayers
 from asr_model_tpu.models.attention import Attention
 from asr_model_tpu.models.gates import Router, TGate
 from asr_model_tpu.models.registry import get_activation, get_norm
+from asr_model_tpu.models.moe import MoEMLP
 from asr_model_tpu.models.sheath import MSheath
 from asr_model_tpu.ops.audio import sinusoids
 
@@ -70,6 +71,12 @@ class Residual(nn.Module):
     n_type: str
     num_types: int = 3
     theta: float = THETA
+    # >0: replace the dense MLP pair with a routed mixture of experts
+    # of the same per-expert shape (models/moe.py); experts shard over
+    # the 'expert' mesh axis (EP)
+    moe_experts: int = 0
+    moe_top_k: int = 2
+    moe_capacity_factor: float = 1.25
 
     def setup(self):
         d = self.dims
@@ -78,14 +85,25 @@ class Residual(nn.Module):
         self.router = Router(d, num_types=self.num_types)
         self.jump = MSheath(d, self.head, self.layer)
         self.tgate = TGate(d, num_types=self.num_types)
-        self.mlp_in = tlayers.Dense(d * self.num_types, d, name="mlp_in")
-        self.mlp_out = tlayers.Dense(d, d * self.num_types, name="mlp_out")
+        if self.moe_experts > 0:
+            self.moe = MoEMLP(d, d * self.num_types, self.moe_experts,
+                              top_k=self.moe_top_k,
+                              capacity_factor=self.moe_capacity_factor,
+                              act=self.act, name="moe")
+        else:
+            self.mlp_in = tlayers.Dense(d * self.num_types, d,
+                                        name="mlp_in")
+            self.mlp_out = tlayers.Dense(d, d * self.num_types,
+                                         name="mlp_out")
 
     def _mlp(self, x):
-        act = get_activation(self.act)
         h = self.ln(x)
         h = self.tgate(h)
-        h = self.mlp_out(act(self.mlp_in(h)))
+        if self.moe_experts > 0:
+            h = self.moe(h)
+        else:
+            act = get_activation(self.act)
+            h = self.mlp_out(act(self.mlp_in(h)))
         return self.ln(h)
 
     def precompute_cross(self, xa, xa_valid=None):
@@ -276,6 +294,9 @@ class Processor(nn.Module):
     streaming: bool = False
     pitch_token_vocab: int = 1024
     pitch_token_bins: int = 256
+    moe_experts: int = 0
+    moe_top_k: int = 2
+    moe_capacity_factor: float = 1.25
 
     def setup(self):
         d = self.dims
@@ -292,7 +313,11 @@ class Processor(nn.Module):
                                 lambda k, s: jnp.asarray(0.5, jnp.float32),
                                 ())
         self.block = [Residual(d, self.head, self.layer, self.act,
-                               self.n_type, name=f"block{i}")
+                               self.n_type,
+                               moe_experts=self.moe_experts,
+                               moe_top_k=self.moe_top_k,
+                               moe_capacity_factor=self.moe_capacity_factor,
+                               name=f"block{i}")
                       for i in range(self.layer)]
 
     def _encode_xa(self, blk, xa: Dict[str, jnp.ndarray], pt=None,

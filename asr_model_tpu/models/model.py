@@ -60,7 +60,10 @@ class Model(nn.Module):
             causal_all=self.cfg.causal_all,
             streaming=self.cfg.streaming,
             pitch_token_vocab=self.cfg.pitch_token_vocab,
-            pitch_token_bins=self.cfg.pitch_token_bins)
+            pitch_token_bins=self.cfg.pitch_token_bins,
+            moe_experts=self.cfg.moe_experts,
+            moe_top_k=self.cfg.moe_top_k,
+            moe_capacity_factor=self.cfg.moe_capacity_factor)
         self.enc = AudioEncoder(
             mels=p.mels, dims=p.dims, head=p.head, layer=p.layer,
             act=p.act, n_type=p.n_type, norm=self.cfg.encoder_norm,

@@ -110,7 +110,14 @@ class AbbyNormal(nn.Module):
 
         div = x * x
         mean_val = jnp.mean(jnp.abs(x), axis=-1, keepdims=True)
-        std_val = jnp.std(x, axis=-1, keepdims=True, ddof=1)
+        # std with a defined (zero) subgradient at var==0: jnp.std's
+        # backward is inf at an all-zero row, and MoE capacity overflow
+        # (models/moe.py) legitimately produces exactly-zero token rows
+        # — the unguarded form NaN'd the whole gradient.  Same safe-norm
+        # pattern as rotary.py; forward values are identical.
+        var = jnp.var(x, axis=-1, keepdims=True, ddof=1)
+        nz = var > 0
+        std_val = jnp.where(nz, jnp.sqrt(jnp.where(nz, var, 1.0)), 0.0)
         cv = std_val / (mean_val + 1e-6)
 
         decisions = gumbel_softmax(rng, logits + cv, tau=1.0, hard=True)

@@ -15,23 +15,26 @@ import jax
 import numpy as np
 from jax.sharding import Mesh
 
-MeshAxes = ("data", "model", "seq")
+MeshAxes = ("data", "model", "seq", "expert")
 
 
 def make_mesh(data: int = 1, model: int = 1, seq: int = 1,
+              expert: int = 1,
               devices: Optional[Sequence] = None) -> Mesh:
-    """A (data, model, seq) mesh over the first data*model*seq devices.
+    """A (data, model, seq, expert) mesh over the first
+    data*model*seq*expert devices.
 
     On real slices, device order follows jax.devices() which XLA lays
     out so that adjacent mesh coordinates ride ICI neighbors.
     """
     devices = list(devices if devices is not None else jax.devices())
-    n = data * model * seq
+    n = data * model * seq * expert
     if len(devices) < n:
         raise ValueError(
-            f"mesh {data}x{model}x{seq} needs {n} devices, "
+            f"mesh {data}x{model}x{seq}x{expert} needs {n} devices, "
             f"have {len(devices)}")
-    arr = np.asarray(devices[:n], dtype=object).reshape(data, model, seq)
+    arr = np.asarray(devices[:n], dtype=object).reshape(
+        data, model, seq, expert)
     return Mesh(arr, MeshAxes)
 
 

@@ -442,7 +442,8 @@ def make_pp_optimizer(cfg, pp_params):
 
 def make_pp_train_step(model: Model, tx, mesh: Mesh, microbatches: int,
                        clip_grad_norm: float = 0.0,
-                       remat: bool = False) -> Callable:
+                       remat: bool = False,
+                       compute_dtype=None) -> Callable:
     """The jitted PP(+DP) train step — same 7-tuple contract as
     train.loop.make_train_step so the training loop drives either:
     (params, opt_state, batch_stats, rng, loss, gnorm, jstat).
@@ -452,17 +453,36 @@ def make_pp_train_step(model: Model, tx, mesh: Mesh, microbatches: int,
     single/DP-path feature).  ``remat=True`` checkpoints the MSheath
     scan bodies (sheath.scan_remat) — the same per-slot-residual HBM
     hog the plain train step sheds; GPipe keeps all M microbatches'
-    activations live, so PP runs want this at long sequences."""
+    activations live, so PP runs want this at long sequences.
+
+    ``compute_dtype=jnp.bfloat16`` is the same mixed-precision recipe
+    as the DP/TP/EP step (train/loop.py make_train_step): f32 master
+    params + optimizer state, bf16 forward/backward (params, stats,
+    and float inputs cast inside the loss), cross-entropy from
+    f32-upcast logits, f32 grad-norm, mutated running stats recast to
+    their master dtype (the step donates batch_stats)."""
 
     def step_fn(pp_params, opt_state, batch_stats, rng, batch):
         rng, gumbel, drop = jax.random.split(rng, 3)
 
         def loss_fn(p):
+            if compute_dtype is not None:
+                def cast(t):
+                    return jax.tree.map(
+                        lambda x: x.astype(compute_dtype)
+                        if x.dtype == jnp.float32 else x, t)
+                p_c, bs_c, b_c = cast(p), cast(batch_stats), cast(batch)
+            else:
+                p_c, bs_c, b_c = p, batch_stats, batch
             logits, new_bs = pipeline_forward(
-                model, p, batch, mesh, microbatches,
-                batch_stats=batch_stats, train=True,
+                model, p_c, b_c, mesh, microbatches,
+                batch_stats=bs_c, train=True,
                 rngs={"gumbel": gumbel, "dropout": drop})
-            loss = cross_entropy_ignore_pad(logits, batch["labels"])
+            loss = cross_entropy_ignore_pad(
+                logits.astype(jnp.float32), batch["labels"])
+            if compute_dtype is not None and new_bs is not None:
+                new_bs = jax.tree.map(lambda x, ref: x.astype(ref.dtype),
+                                      new_bs, batch_stats)
             return loss, new_bs
 
         import contextlib

@@ -44,6 +44,13 @@ TP_RULES = (
     (r"mlp1/bias$",       P("model")),
     (r"mlp2/kernel$",     P("model", None)),
     (r"token/embedding$", P("model", None)),
+    # EP: MoE expert weights carry a leading E axis (models/moe.py,
+    # nn.vmap-stacked) sharded over 'expert'; within each expert the
+    # FFN pair keeps the Megatron column/row pairing over 'model'
+    (r"experts/w_in/kernel$",  P("expert", None, "model")),
+    (r"experts/w_in/bias$",    P("expert", "model")),
+    (r"experts/w_out/kernel$", P("expert", "model", None)),
+    (r"experts/w_out/bias$",   P("expert", None)),
 )
 
 
@@ -70,6 +77,8 @@ def _divisible(leaf, spec, mesh: Mesh) -> bool:
     for dim, axis in enumerate(spec):
         if axis is None:
             continue
+        if axis not in mesh.shape:      # mesh without this axis family
+            return False
         size = mesh.shape[axis]
         if dim >= leaf.ndim or leaf.shape[dim] % size != 0:
             return False
@@ -116,7 +125,8 @@ def shard_params(params, mesh: Mesh):
 
 
 def make_sharded_train_step(model, tx, mesh: Mesh,
-                            clip_grad_norm: float = 0.0) -> Callable:
+                            clip_grad_norm: float = 0.0,
+                            compute_dtype=None) -> Callable:
     """The jitted DP(+TP) train step.
 
     Under XLA's SPMD partitioner the step *function* is the same program
@@ -129,4 +139,5 @@ def make_sharded_train_step(model, tx, mesh: Mesh,
     training loop can drive either step interchangeably."""
     del mesh  # shardings travel with the inputs; kept for API clarity
     from asr_model_tpu.train.loop import make_train_step
-    return make_train_step(model, tx, clip_grad_norm)
+    return make_train_step(model, tx, clip_grad_norm,
+                           compute_dtype=compute_dtype)

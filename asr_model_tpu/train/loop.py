@@ -75,7 +75,8 @@ def make_optimizer(cfg: Config, params):
 
 
 def make_train_step(model: Model, tx, clip_grad_norm: float = 0.0,
-                    remat: bool = False, remat_policy: str = "dots"):
+                    remat: bool = False, remat_policy: str = "dots",
+                    compute_dtype=None):
     """Build the single jitted train step.
 
     Returns (params, opt_state, batch_stats, rng, loss, gnorm, jstat):
@@ -87,20 +88,38 @@ def make_train_step(model: Model, tx, clip_grad_norm: float = 0.0,
     matmul outputs, recompute the rest in the backward): measured on
     the v5e flagship at TF=1001, the un-remat'd step OOMs HBM at
     batch 16 (19.2 GB needed, 15.75 GB available), while remat trades
-    a recomputed forward for fitting larger batches."""
+    a recomputed forward for fitting larger batches.
+
+    ``compute_dtype=jnp.bfloat16`` is mixed-precision training: master
+    params and optimizer state stay f32; the forward/backward run with
+    params, batch-norm stats, and float inputs cast to bf16 (grads
+    arrive f32 through the cast's transpose).  The cross-entropy is
+    computed outside the model from f32-upcast logits — a 40k-way
+    log-softmax in bf16 would lose the gradient signal of near-tied
+    logits — and the grad-norm already accumulates in f32.  bf16 has
+    f32's exponent range, so no loss scaling is needed (unlike fp16)."""
 
     def step_fn(params, opt_state, batch_stats, rng, batch):
         rng, gumbel, drop = jax.random.split(rng, 3)
 
         def loss_fn(p):
-            variables = {"params": p, "batch_stats": batch_stats}
+            if compute_dtype is not None:
+                def cast(t):
+                    return jax.tree.map(
+                        lambda x: x.astype(compute_dtype)
+                        if x.dtype == jnp.float32 else x, t)
+                p_c, bs_c, b_c = cast(p), cast(batch_stats), cast(batch)
+            else:
+                p_c, bs_c, b_c = p, batch_stats, batch
+            variables = {"params": p_c, "batch_stats": bs_c}
             out, mut = model.apply(
                 variables,
-                batch["text_ids"], labels=batch["labels"],
-                spectrogram=batch.get("spectrogram"),
-                pitch=batch.get("pitch"),
-                waveform=batch.get("waveform"),
-                pitch_tokens=batch.get("pitch_tokens"),
+                b_c["text_ids"],
+                labels=None if compute_dtype is not None else b_c["labels"],
+                spectrogram=b_c.get("spectrogram"),
+                pitch=b_c.get("pitch"),
+                waveform=b_c.get("waveform"),
+                pitch_tokens=b_c.get("pitch_tokens"),
                 train=True,
                 rngs={"gumbel": gumbel, "dropout": drop},
                 mutable=["batch_stats", "intermediates"])
@@ -109,7 +128,28 @@ def make_train_step(model: Model, tx, clip_grad_norm: float = 0.0,
                       for v in _collect_sown(inter, "jstat")]
             jstat = (sum(jstats) if jstats
                      else jnp.zeros(3, jnp.int32))
-            return out["loss"], (mut["batch_stats"], jstat)
+            if compute_dtype is not None:
+                from asr_model_tpu.models.model import \
+                    cross_entropy_ignore_pad
+                loss = cross_entropy_ignore_pad(
+                    out["logits"].astype(jnp.float32), batch["labels"])
+                # running stats must keep their master dtype: the step
+                # donates batch_stats, so a bf16-mutated tree would
+                # change the output aval (recompile + dtype drift)
+                new_bs = jax.tree.map(
+                    lambda x, ref: x.astype(ref.dtype),
+                    mut["batch_stats"], batch_stats)
+            else:
+                loss = out["loss"]
+                new_bs = mut["batch_stats"]
+            # MoE load-balance aux (models/moe.py), one scalar per
+            # routed layer, weighted into the training loss
+            aux = _collect_sown(inter, "moe_aux")
+            if aux:
+                aux_w = getattr(model.cfg, "moe_aux_weight", 0.0)
+                loss = loss + aux_w * sum(jnp.sum(a.astype(loss.dtype))
+                                          for a in aux)
+            return loss, (new_bs, jstat)
 
         grad_target = loss_fn
         if remat:
@@ -230,14 +270,27 @@ def _device_batch(batch, mesh=None) -> Dict[str, jnp.ndarray]:
     return jax.device_put(arrs, batch_shardings(arrs, mesh))
 
 
+def train_compute_dtype(run):
+    """Map RunConfig.train_dtype to the step's compute dtype (None =
+    full f32, the parity default)."""
+    name = getattr(run, "train_dtype", "float32")
+    if name in ("bfloat16", "bf16"):
+        return jnp.bfloat16
+    if name in ("float32", "f32", None):
+        return None
+    raise ValueError(f"unsupported train_dtype {name!r} "
+                     "(use 'float32' or 'bfloat16')")
+
+
 def _maybe_mesh(run):
     """Build the device mesh from RunConfig.mesh_* (SURVEY §2.5 items
     1-3); None when all axes are 1 (single-device path)."""
-    if run.mesh_data * run.mesh_model * run.mesh_seq <= 1:
+    expert = getattr(run, "mesh_expert", 1)
+    if run.mesh_data * run.mesh_model * run.mesh_seq * expert <= 1:
         return None
     from asr_model_tpu.parallel.mesh import make_mesh
     return make_mesh(data=run.mesh_data, model=run.mesh_model,
-                     seq=run.mesh_seq)
+                     seq=run.mesh_seq, expert=expert)
 
 
 def train_and_evaluate(
@@ -301,6 +354,10 @@ def train_and_evaluate(
         if not model.cfg.chained_blocks:
             raise ValueError("mesh_pipe needs chained_blocks=True "
                              "(parity mode runs a single live block)")
+        if getattr(model.cfg, "moe_experts", 0) > 0:
+            raise ValueError("mesh_pipe does not compose with MoE yet "
+                             "(the pipeline schedule's loss does not "
+                             "collect the load-balance aux)")
         if run.mesh_model != 1 or run.mesh_seq != 1:
             raise ValueError("mesh_pipe composes with mesh_data only "
                              "(got mesh_model=%d mesh_seq=%d)"
@@ -370,7 +427,8 @@ def train_and_evaluate(
     if pp:
         train_step = pp.make_pp_train_step(
             model, tx, mesh, run.microbatches, run.clip_grad_norm,
-            remat=getattr(run, "remat", False))
+            remat=getattr(run, "remat", False),
+            compute_dtype=train_compute_dtype(run))
         # eval/decode run on the unsharded layout: unstack on demand
         # (slices of the 'pipe'-sharded stack — XLA gathers per leaf)
         unstack = jax.jit(pp.from_pipeline_params)
@@ -378,7 +436,8 @@ def train_and_evaluate(
         train_step = make_train_step(
             model, tx, run.clip_grad_norm,
             remat=getattr(run, "remat", False),
-            remat_policy=getattr(run, "remat_policy", "dots"))
+            remat_policy=getattr(run, "remat_policy", "dots"),
+            compute_dtype=train_compute_dtype(run))
         unstack = None
     eval_step = make_eval_step(model)
     grad_diag = make_grad_diagnostics(model) if log_detail else None

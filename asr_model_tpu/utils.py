@@ -36,8 +36,15 @@ def no_none(x: dict) -> dict:
 def l2norm(t, axis=-1, eps=1e-12):
     """F.normalize(t, dim=-1) equivalent (essentials.py:34-35).
 
-    torch.nn.functional.normalize divides by max(||t||, eps)."""
-    n = jnp.linalg.norm(t, axis=axis, keepdims=True)
+    torch.nn.functional.normalize divides by max(||t||, eps).  The
+    norm carries a defined (zero) subgradient at t == 0:
+    jnp.linalg.norm's backward is 0/0 there even though the forward
+    clamps — same safe-norm pattern as rotary.py / norms.AbbyNormal
+    (zero rows occur legitimately: MoE capacity drops, pipeline
+    bubble ticks).  Forward values are identical."""
+    sq = jnp.sum(t * t, axis=axis, keepdims=True)
+    nz = sq > 0
+    n = jnp.where(nz, jnp.sqrt(jnp.where(nz, sq, 1.0)), 0.0)
     return t / jnp.maximum(n, eps)
 
 

@@ -42,6 +42,49 @@ def test_abbynormal_finite_and_shape():
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y2))
 
 
+def test_abbynormal_zero_row_gradient_finite():
+    # MoE capacity overflow (models/moe.py) feeds exactly-zero token
+    # rows into the residual norms; jnp.std's backward is inf at
+    # var==0, which NaN'd the whole train gradient until the safe-std
+    # guard.  Forward must be unchanged (0 row -> cv 0), backward
+    # finite.
+    m = AbbyNormal(dims=32)
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 5, 32),
+                    jnp.float32)
+    x = x.at[0, 2].set(0.0)         # one all-zero token row
+    x = x.at[1, 4].set(0.0)
+    params = m.init({"params": jax.random.key(0), "gumbel": jax.random.key(1)}, x)
+
+    def f(p, xx):
+        return jnp.sum(m.apply(p, xx,
+                               rngs={"gumbel": jax.random.key(2)}) ** 2)
+
+    gp = jax.grad(f)(params, x)
+    gx = jax.grad(f, argnums=1)(params, x)
+    assert all(np.isfinite(np.asarray(l)).all()
+               for l in jax.tree.leaves(gp))
+    assert np.isfinite(np.asarray(gx)).all()
+    # forward at the zero rows is exactly zero (denominator k^beta)
+    y = m.apply(params, x, rngs={"gumbel": jax.random.key(2)})
+    np.testing.assert_array_equal(np.asarray(y[0, 2]), 0.0)
+
+
+def test_l2norm_zero_row_gradient_finite():
+    # same hazard class as the AbbyNormal std: linalg.norm's backward
+    # is 0/0 at the origin even though l2norm's forward clamps the
+    # denominator.  MSheath's cosine similarity (sheath.py) runs this
+    # on block streams.
+    from asr_model_tpu.utils import l2norm
+    x = jnp.asarray(np.random.RandomState(0).randn(3, 8), jnp.float32)
+    x = x.at[1].set(0.0)
+    # forward parity with the torch-definition for nonzero rows
+    t = torch.nn.functional.normalize(torch.tensor(np.asarray(x)), dim=-1)
+    np.testing.assert_allclose(np.asarray(l2norm(x)), t.numpy(),
+                               rtol=1e-6, atol=1e-6)
+    g = jax.grad(lambda v: jnp.sum(l2norm(v) ** 2))(x)
+    assert np.isfinite(np.asarray(g)).all()
+
+
 def test_abbynormal_denominator_bounds():
     # with alpha=1e-4 and k=1 the denominator stays close to 1 for unit
     # inputs => output ~ x

@@ -247,3 +247,41 @@ def test_pp_train_step_runs_and_learns(setup):
     # logit magnitudes ~700) — single steps can bounce; repeated steps
     # on one batch must descend overall
     assert min(losses[1:]) < losses[0], losses
+
+
+def test_pp_train_step_bf16(setup):
+    """PP x mixed precision: the GPipe step under compute_dtype=bf16
+    keeps f32 master params/optimizer state, emits an f32 loss, and is
+    re-entrant through its donated arguments (same recipe as the
+    DP/TP/EP step, tests/test_bf16_train.py)."""
+    from asr_model_tpu.config import Config, OptimConfig
+    from asr_model_tpu.parallel.pipeline import (make_pp_optimizer,
+                                                 shard_pp_opt_state)
+    model, variables, batch, fwd, ref_logits = setup
+    mesh = make_pipe_mesh(pipe=2, data=2)
+    pp_host = to_pipeline_params(variables["params"])
+    cfg = Config(optim=OptimConfig(lr=1e-3, warmup_steps=1,
+                                   total_steps=10))
+    tx, _ = make_pp_optimizer(cfg, pp_host)
+    opt_state = shard_pp_opt_state(tx.init(pp_host), mesh)
+    pp = shard_pipeline_params(pp_host, mesh)
+    step = make_pp_train_step(model, tx, mesh, microbatches=2,
+                              compute_dtype=jnp.bfloat16)
+    bs = variables["batch_stats"]
+    rng = jax.random.key(1)
+    before = jax.tree.map(np.asarray, pp_host)
+    for _ in range(2):
+        pp, opt_state, bs, rng, loss, gnorm, jstat = step(
+            pp, opt_state, bs, rng, batch)
+        assert loss.dtype == jnp.float32
+        assert np.isfinite(float(loss)) and np.isfinite(float(gnorm))
+    moved = 0.0
+    for (path, a), b in zip(jax.tree_util.tree_leaves_with_path(pp),
+                            jax.tree.leaves(before)):
+        assert a.dtype == b.dtype, jax.tree_util.keystr(path)
+        moved += float(jnp.sum(jnp.abs(a.astype(jnp.float32)
+                                       - jnp.asarray(b, jnp.float32))))
+    assert moved > 0
+    for a, b in zip(jax.tree.leaves(bs),
+                    jax.tree.leaves(variables["batch_stats"])):
+        assert a.dtype == b.dtype

@@ -45,6 +45,10 @@ def main():
                          "for the scaling curve")
     ap.add_argument("--remat-policy", type=str, default="dots",
                     choices=["dots", "full"])
+    ap.add_argument("--train-dtype", type=str, default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="mixed-precision train step for the scaling "
+                         "curve (f32 master weights, bf16 compute)")
     args = ap.parse_args()
 
     import jax
@@ -107,8 +111,11 @@ def main():
 
         cfg = Config(model=ModelConfig(dims=dims))
         tx, _ = make_optimizer(cfg, variables["params"])
+        cdtype = (jnp.bfloat16 if args.train_dtype == "bfloat16"
+                  else None)
         step_fn = make_train_step(model, tx, remat=args.remat,
-                                  remat_policy=args.remat_policy)
+                                  remat_policy=args.remat_policy,
+                                  compute_dtype=cdtype)
         scaling = {}
         for b in [int(s) for s in args.train_scaling.split(",")]:
             ab = jnp.asarray(make_audio(b, 10.0))
@@ -136,13 +143,18 @@ def main():
                 "audio_sec_per_sec": round(b * 10.0 / dt, 1),
             }
             print(f"train B={b}", scaling[f"B={b}"], flush=True)
-        out = os.path.join(REPO, "docs", "BENCH_TRAIN_SCALING.json")
+        suffix = "_BF16" if cdtype is not None else ""
+        out = os.path.join(REPO, "docs",
+                           f"BENCH_TRAIN_SCALING{suffix}.json")
         with open(out, "w") as f:
             json.dump({"hardware": results["hardware"],
                        "workload": "TF=1001 spectrogram, T=48 text, "
-                                   "fwd+bwd+MaxFactor, f32",
+                                   "fwd+bwd+MaxFactor, "
+                                   + ("bf16 compute / f32 master"
+                                      if cdtype is not None else "f32"),
                        "remat": bool(args.remat),
                        "remat_policy": args.remat_policy,
+                       "train_dtype": args.train_dtype,
                        "scaling": scaling}, f, indent=2)
         print("wrote", out)
         return
