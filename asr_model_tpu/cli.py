@@ -109,6 +109,11 @@ def build_argparser() -> argparse.ArgumentParser:
                         "forward/backward at the MXU's native bf16 rate "
                         "with f32 master weights, optimizer state, and "
                         "loss (train/loop.py)")
+    p.add_argument("--prefetch", type=int, default=2,
+                   help="host input-pipeline overlap: batches prepared "
+                        "ahead on a worker thread while the device runs "
+                        "the train step (0 = synchronous, the "
+                        "reference's num_workers=0 semantics)")
     return p
 
 
@@ -179,7 +184,8 @@ def main(argv=None):
                       mesh_pipe=args.mesh_pipe,
                       microbatches=args.microbatches, remat=args.remat,
                       remat_policy=args.remat_policy,
-                      train_dtype=args.train_dtype))
+                      train_dtype=args.train_dtype,
+                      prefetch_depth=args.prefetch))
 
     n_mesh = (args.mesh_data * args.mesh_model * args.mesh_seq
               * args.mesh_expert * args.mesh_pipe)

@@ -178,6 +178,11 @@ class RunConfig:
     # microbatch is MSheath's jump-control unit (gradient-accumulation
     # semantics — pipeline.py module docstring)
     microbatches: int = 1
+    # host input-pipeline overlap: batches this many collated batches
+    # ahead on a worker thread (data.dataset.Prefetcher), and the train
+    # loop additionally prepares batch N+1 while the device runs step N.
+    # 0 = fully synchronous (the reference's num_workers=0 semantics).
+    prefetch_depth: int = 2
 
 
 @dataclass(frozen=True)

@@ -452,45 +452,68 @@ def train_and_evaluate(
     oneshot_scales = {"oneshot": 0.3}    # latent in the reference (§2.1)
     total_loss = 0.0
     steps_this_run = 0            # Loss/train averages steps of THIS run
-    train_iter = iter(train_loader)
     samples_per_sec = 0.0
     _pp_skips = 0
 
+    # host/device overlap: a worker thread keeps `prefetch_depth`
+    # collated batches ahead (feature extraction overlaps the device
+    # step), and the loop below additionally pulls batch N+1 between
+    # dispatching step N (async) and fetching its loss (blocking) — so
+    # host batch prep runs while the device computes.
+    depth = getattr(run, "prefetch_depth", 0)
+    if depth > 0:
+        from asr_model_tpu.data.dataset import Prefetcher
+        loader = Prefetcher(train_loader, depth=depth)
+    else:
+        loader = train_loader
+    train_iter = iter(loader)
+
+    def pull_batch():
+        nonlocal train_iter, _pp_skips
+        while True:
+            try:
+                batch = next(train_iter)
+            except StopIteration:
+                train_iter = iter(loader)
+                batch = next(train_iter)
+            if pp:
+                # GPipe needs a fixed microbatch grid: rows must split
+                # into `microbatches` equal groups, each divisible by
+                # the data axis.  Ragged tail batches (dataset %
+                # batch_size) are skipped — the DP path replicates them
+                # instead, but a shard_map'd schedule has no ragged
+                # story (and a one-off shape would recompile the whole
+                # pipeline program anyway).
+                rows = len(np.asarray(batch["text_ids"]))
+                if (rows % run.microbatches
+                        or (rows // run.microbatches)
+                        % max(run.mesh_data, 1)):
+                    _pp_skips += 1
+                    if _pp_skips > 1000:
+                        raise ValueError(
+                            "every batch is ragged for the pipeline grid "
+                            f"(microbatches={run.microbatches} x "
+                            f"data={run.mesh_data}); fix batch_size")
+                    logger.warning(
+                        "skipping ragged batch of %d rows under pipeline "
+                        "parallelism (need microbatches=%d x data=%d grid)",
+                        rows, run.microbatches, run.mesh_data)
+                    continue
+                _pp_skips = 0
+            return batch
+
+    batch = pull_batch()
     while global_step < run.max_steps:
-        try:
-            batch = next(train_iter)
-        except StopIteration:
-            train_iter = iter(train_loader)
-            batch = next(train_iter)
-
-        if pp:
-            # GPipe needs a fixed microbatch grid: rows must split into
-            # `microbatches` equal groups, each divisible by the data
-            # axis.  Ragged tail batches (dataset % batch_size) are
-            # skipped — the DP path replicates them instead, but a
-            # shard_map'd schedule has no ragged story (and a one-off
-            # shape would recompile the whole pipeline program anyway).
-            rows = len(np.asarray(batch["text_ids"]))
-            if (rows % run.microbatches
-                    or (rows // run.microbatches) % max(run.mesh_data, 1)):
-                _pp_skips += 1
-                if _pp_skips > 1000:
-                    raise ValueError(
-                        "every batch is ragged for the pipeline grid "
-                        f"(microbatches={run.microbatches} x "
-                        f"data={run.mesh_data}); fix batch_size")
-                logger.warning(
-                    "skipping ragged batch of %d rows under pipeline "
-                    "parallelism (need microbatches=%d x data=%d grid)",
-                    rows, run.microbatches, run.mesh_data)
-                continue
-            _pp_skips = 0
-
         start = time.time()
+        rows = len(np.asarray(batch["text_ids"]))
         dbatch = _device_batch(batch, mesh)
         params, opt_state, batch_stats, rng, loss, gnorm, jstat = \
             train_step(params, opt_state, batch_stats, rng, dbatch)
 
+        # the step is dispatched (async); prepare the NEXT host batch
+        # while the device runs, then block on the loss scalar
+        if global_step + 1 < run.max_steps:
+            batch = pull_batch()
         loss_f = float(loss)
         gnorm_f = float(gnorm)
         total_loss += loss_f
@@ -499,8 +522,7 @@ def train_and_evaluate(
         oneshot_scales = grad_norm_controller(grad_history, oneshot_scales)
         if len(grad_history) > 100:
             grad_history = grad_history[-100:]
-        samples_per_sec = (len(np.asarray(batch["text_ids"]))
-                           / max(time.time() - start, 1e-9))
+        samples_per_sec = rows / max(time.time() - start, 1e-9)
 
         if global_step % run.log_interval == 0:
             lr = float(sched(global_step))

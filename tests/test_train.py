@@ -170,3 +170,35 @@ def test_remat_train_step_matches_plain():
     for a, b in zip(jax.tree.leaves(outs[False][2]),
                     jax.tree.leaves(outs[True][2])):
         np.testing.assert_allclose(a, b, atol=1e-6, rtol=1e-5)
+
+
+def test_prefetch_overlap_matches_synchronous(tmp_path):
+    """The overlapped input pipeline (RunConfig.prefetch_depth > 0:
+    worker-thread batch prefetch + batch-N+1 prep between the async
+    step dispatch and its loss fetch) must be a pure scheduling change:
+    identical batch order, identical final params vs the fully
+    synchronous loop."""
+    tok = setup_tokenizer(ASSET)
+    extract = dict(spectrogram=True, pitch=False, waveform=False,
+                   hop_length=160, sample_rate=16000, mels=8)
+    ds = SyntheticDataset(n=4, tokenizer=tok, extract_args=extract,
+                          dur_range=(0.3, 0.5))
+    loader = Repeated(ds, batch_size=2, pad_to_multiple=64,
+                      text_pad_to_multiple=16)
+    dims = Dimensions(tokens=40000, mels=8, dims=16, head=2, layer=2)
+
+    outs = {}
+    for depth in (0, 2):
+        cfg = Config(
+            model=ModelConfig(dims=dims),
+            optim=OptimConfig(warmup_steps=2, total_steps=4),
+            run=RunConfig(max_steps=4, batch_size=2, eval_interval=0,
+                          save_interval=0, warmup_interval=1,
+                          prefetch_depth=depth,
+                          checkpoint_dir=str(tmp_path / f"d{depth}"),
+                          log_dir=str(tmp_path / f"d{depth}")))
+        model = Model(param=dims, cfg=cfg.model)
+        variables = train_and_evaluate(model, tok, loader, loader, cfg)
+        outs[depth] = jax.tree.map(np.asarray, variables["params"])
+    for a, b in zip(jax.tree.leaves(outs[0]), jax.tree.leaves(outs[2])):
+        np.testing.assert_array_equal(a, b)
