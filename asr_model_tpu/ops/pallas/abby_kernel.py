@@ -79,14 +79,31 @@ def _kernel(x_ref, logits_ref, out_ref, *, size: int, alpha: float,
 def fused_abby_tail(x2, logits2, size: int, alpha: float, k: float,
                     beta: float, interpret: bool = False):
     """``x2`` (N, D), ``logits2`` (N, 3) from the router MLP; returns
-    the normalized (N, D) output in x2's dtype."""
+    the normalized (N, D) output in x2's dtype.
+
+    Every op is row-independent (all reductions run along D), so the
+    program tiles N over a grid — large inputs (B=64 decode prefixes,
+    full-length eval forwards) stay on the fused path instead of
+    falling back to XLA at a VMEM cap.  Partial edge blocks are safe:
+    Mosaic masks the stores, and garbage rows never mix into other
+    rows' lane-axis reductions."""
     N, D = x2.shape
     kernel = functools.partial(_kernel, size=size, alpha=float(alpha),
                                k=float(k), beta=float(beta))
+    # ~6 (TN, D) f32 live temps; TN=256 keeps the block under ~4 MB
+    # VMEM at the flagship D=512 while amortizing grid overhead
+    tn = min(N, 256)
     return pl.pallas_call(
         kernel,
+        grid=(pl.cdiv(N, tn),),
         out_shape=jax.ShapeDtypeStruct((N, D), x2.dtype),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        in_specs=[
+            pl.BlockSpec((tn, D), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tn, 3), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tn, D), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
         interpret=interpret,
     )(x2, logits2)

@@ -180,11 +180,15 @@ def test_fused_sheath_scan_bf16(monkeypatch):
 
 
 @pytest.mark.parametrize("D,shape", [(128, (2, 6, 128)),
-                                     (256, (2, 4, 5, 256))])
+                                     (256, (2, 4, 5, 256)),
+                                     # N=300 rows: exercises the row
+                                     # grid (TN=256) incl. a partial
+                                     # edge block (no size cap anymore)
+                                     (128, (3, 100, 128))])
 def test_fused_abby_tail_matches_xla(D, shape, monkeypatch):
     """The fused AbbyNormal tail (stats + hard routing + windowed
     channel reductions + normalizer) must match the XLA path at eval,
-    including 4-D head-norm shapes."""
+    including 4-D head-norm shapes and grid-tiled row counts."""
     import asr_model_tpu.models.norms as norms_mod
     from asr_model_tpu.models.norms import AbbyNormal
 
