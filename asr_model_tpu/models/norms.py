@@ -95,13 +95,17 @@ class AbbyNormal(nn.Module):
         # into one Pallas program (ops/pallas/abby_kernel.py) — the
         # stats, hard routing, both sliding-window channel reductions,
         # and the normalizer.  Eval-only (rng=None makes the routing a
-        # deterministic argmax).  The kernel tiles rows over a grid, so
-        # there is no size cap (B=64 prefixes and full-length eval
-        # forwards stay fused).  d % 128: Mosaic's dynamic lane rotate
-        # (the sliding windows) requires lane-aligned vectors — tiny
-        # configs fall back to XLA
+        # deterministic argmax); prefix-sized inputs only.  The size
+        # gate matters (measured): encoder-length calls (the 3-modality
+        # cross-KV precompute, N ~ batch*1000 frames) are faster on XLA,
+        # which fuses the norm tail into the surrounding elementwise
+        # chains — routing them through the kernel cost 25% end-to-end
+        # RTFx (402.9x -> 303.0x, bench.py).  Same reasoning as the
+        # MSheath kernel gate (sheath.py).  d % 128: Mosaic's dynamic
+        # lane rotate (the sliding windows) requires lane-aligned
+        # vectors — tiny configs fall back to XLA
         if rng is None and confidence is None and d % 128 == 0 \
-                and _pallas_abby_enabled():
+                and x.size <= 400_000 and _pallas_abby_enabled():
             from asr_model_tpu.ops.pallas.abby_kernel import fused_abby_tail
 
             out = fused_abby_tail(

@@ -82,17 +82,21 @@ def fused_abby_tail(x2, logits2, size: int, alpha: float, k: float,
     the normalized (N, D) output in x2's dtype.
 
     Every op is row-independent (all reductions run along D), so the
-    program tiles N over a grid — large inputs (B=64 decode prefixes,
-    full-length eval forwards) stay on the fused path instead of
-    falling back to XLA at a VMEM cap.  Partial edge blocks are safe:
-    Mosaic masks the stores, and garbage rows never mix into other
-    rows' lane-axis reductions."""
+    program CAN tile N over a grid; partial edge blocks are safe
+    (Mosaic masks the stores, and garbage rows never mix into other
+    rows' lane-axis reductions).  In production the norms.py call site
+    gates engagement to decode-prefix sizes (x.size <= 400k — encoder-
+    length calls measured faster on XLA, which fuses the tail into the
+    surrounding ops), so gated callers always take the single-block
+    whole-array path — the round-2-measured configuration.  The grid
+    path serves forced large-N use (PALLAS_ABBY=on, direct calls)."""
     N, D = x2.shape
     kernel = functools.partial(_kernel, size=size, alpha=float(alpha),
                                k=float(k), beta=float(beta))
-    # ~6 (TN, D) f32 live temps; TN=256 keeps the block under ~4 MB
-    # VMEM at the flagship D=512 while amortizing grid overhead
-    tn = min(N, 256)
+    # single block for anything the production gate admits; beyond
+    # that, TN=256 keeps ~6 (TN, D) f32 live temps under ~4 MB VMEM
+    # at the flagship D=512
+    tn = N if N * D <= 400_000 else 256
     return pl.pallas_call(
         kernel,
         grid=(pl.cdiv(N, tn),),

@@ -181,10 +181,13 @@ def test_fused_sheath_scan_bf16(monkeypatch):
 
 @pytest.mark.parametrize("D,shape", [(128, (2, 6, 128)),
                                      (256, (2, 4, 5, 256)),
-                                     # N=300 rows: exercises the row
-                                     # grid (TN=256) incl. a partial
-                                     # edge block (no size cap anymore)
-                                     (128, (3, 100, 128))])
+                                     # N=4000 rows (N*D > 400k):
+                                     # exercises the row grid (TN=256)
+                                     # incl. a partial 160-row edge
+                                     # block — the forced-large-N path;
+                                     # production-gated sizes take the
+                                     # single-block path
+                                     (128, (40, 100, 128))])
 def test_fused_abby_tail_matches_xla(D, shape, monkeypatch):
     """The fused AbbyNormal tail (stats + hard routing + windowed
     channel reductions + normalizer) must match the XLA path at eval,
