@@ -31,9 +31,10 @@ from asr_model_tpu.models import tlayers
 from asr_model_tpu.models.stochastic import gumbel_softmax
 from asr_model_tpu.utils import default_platform
 
-# PALLAS_ABBY: "on" forces the fused AbbyNormal tail everywhere
-# (interpreter on CPU — tests), "off" disables it, unset routes it on
-# TPU only.
+# PALLAS_ABBY: "on" forces the fused AbbyNormal tail everywhere it can
+# run (interpreter on CPU — tests; bypasses the x.size engagement gate,
+# but not the d % 128 lane-alignment requirement), "off" disables it,
+# unset routes it on TPU only at production-gated sizes.
 _PALLAS_ABBY = os.environ.get("PALLAS_ABBY", "auto").lower()
 
 
@@ -61,6 +62,27 @@ def window_reduce_last(x, size: int, kind: str):
     raise ValueError(kind)
 
 
+class _DenseParams(nn.Module):
+    """Declares an nn.Dense-compatible kernel/bias pair (same names,
+    shapes, and torch-default init — and because flax folds the params
+    rng over the variable PATH, the same init VALUES) without running
+    the matmul, so a caller can feed the weights to a fused kernel.
+    Checkpoint-tree-identical to ``tlayers.Dense(features, in_features,
+    name=...)``."""
+
+    features: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", tlayers.torch_kernel_init(),
+                            (self.in_features, self.features))
+        bias = self.param("bias",
+                          tlayers.torch_bias_init(self.in_features),
+                          (self.features,))
+        return kernel, bias
+
+
 class AbbyNormal(nn.Module):
     """Learned-mode local response norm.
 
@@ -86,33 +108,47 @@ class AbbyNormal(nn.Module):
         if size % 2 == 0:
             size += 1
 
-        h = tlayers.Dense(self.dims, self.dims, name="router_in")(x)
-        logits = tlayers.Dense(3, self.dims, name="router_out")(nn.silu(h))
+        w1, b1 = _DenseParams(self.dims, self.dims, name="router_in")()
+        w2, b2 = _DenseParams(3, self.dims, name="router_out")()
 
         rng = self.make_rng("gumbel") if self.has_rng("gumbel") else None
 
-        # decode hot path: everything after the router matmuls fused
-        # into one Pallas program (ops/pallas/abby_kernel.py) — the
+        # decode hot path: the ENTIRE eval-mode program — router MLP,
         # stats, hard routing, both sliding-window channel reductions,
-        # and the normalizer.  Eval-only (rng=None makes the routing a
-        # deterministic argmax); prefix-sized inputs only.  The size
-        # gate matters (measured): encoder-length calls (the 3-modality
-        # cross-KV precompute, N ~ batch*1000 frames) are faster on XLA,
-        # which fuses the norm tail into the surrounding elementwise
-        # chains — routing them through the kernel cost 25% end-to-end
-        # RTFx (402.9x -> 303.0x, bench.py).  Same reasoning as the
-        # MSheath kernel gate (sheath.py).  d % 128: Mosaic's dynamic
-        # lane rotate (the sliding windows) requires lane-aligned
-        # vectors — tiny configs fall back to XLA
+        # and the normalizer — fused into one Pallas dispatch
+        # (ops/pallas/abby_kernel.fused_abby).  The decode step runs
+        # ~45 AbbyNormal applications and is dispatch-latency-bound,
+        # so one kernel vs 3-4 XLA dispatches per application is the
+        # direct lever.  Gates: eval-only (rng=None makes the routing a
+        # deterministic argmax); x.size <= 400k because encoder-length
+        # calls (the 3-modality cross-KV precompute, N ~ batch*1000
+        # frames) measured faster on XLA, which fuses the norm tail
+        # into the surrounding elementwise chains (routing them through
+        # the tail kernel cost 25% end-to-end RTFx, 402.9x -> 303.0x —
+        # same reasoning as the MSheath kernel gate, sheath.py);
+        # PALLAS_ABBY=on bypasses the size gate (so 'on' truly forces
+        # the kernel — tests exercise the row-grid path through it) but
+        # not d % 128: Mosaic's dynamic lane rotate (the sliding
+        # windows) requires lane-aligned vectors — tiny configs fall
+        # back to XLA.
         if rng is None and confidence is None and d % 128 == 0 \
-                and x.size <= 400_000 and _pallas_abby_enabled():
-            from asr_model_tpu.ops.pallas.abby_kernel import fused_abby_tail
+                and (x.size <= 400_000 or _PALLAS_ABBY == "on") \
+                and _pallas_abby_enabled():
+            from asr_model_tpu.ops.pallas.abby_kernel import fused_abby
 
-            out = fused_abby_tail(
-                x.reshape(-1, d), logits.reshape(-1, 3), size=size,
+            out = fused_abby(
+                x.reshape(-1, d), w1.astype(x.dtype), b1.astype(x.dtype),
+                w2.astype(x.dtype), b2.astype(x.dtype), size=size,
                 alpha=self.alpha, k=self.k, beta=self.beta,
                 interpret=default_platform() != "tpu")
             return out.reshape(x.shape)
+
+        # XLA path: the nn.Dense math inline (promote-dtype then
+        # x @ kernel + bias), weights shared with the fused path above
+        xp, w1p, b1p, w2p, b2p = nn.dtypes.promote_dtype(
+            x, w1, b1, w2, b2, dtype=None)
+        h = xp @ w1p + b1p
+        logits = nn.silu(h) @ w2p + b2p
 
         div = x * x
         mean_val = jnp.mean(jnp.abs(x), axis=-1, keepdims=True)

@@ -1,14 +1,17 @@
 """Fused AbbyNormal tail — the second decode-hot-path Pallas kernel.
 
 Parity target: models/norms.py:AbbyNormal.__call__ (the reference's
-learned-mode local response norm).  The decoder instantiates ~18
-AbbyNormal norms per decode step; after the two router matmuls (left
-in XLA — their flax params stay where checkpoints expect them) each
-instance runs ~12 more XLA ops: squared activations, mean/std
-coefficient-of-variation, hard routing, two sliding-window channel
-reductions (`lax.reduce_window` mean and max), the peak-adaptive
-select, and the `(alpha*div + k)^beta` normalizer.  This kernel fuses
-that tail into one program.
+learned-mode local response norm).  The decoder runs ~45 AbbyNormal
+applications per decode step; each eval application is the router MLP
+(two matmuls + silu) followed by ~12 more ops: squared activations,
+mean/std coefficient-of-variation, hard routing, two sliding-window
+channel reductions (`lax.reduce_window` mean and max), the peak-
+adaptive select, and the `(alpha*div + k)^beta` normalizer.
+``fused_abby`` fuses the WHOLE program (router included — the flax
+params stay under router_in/router_out where checkpoints expect them,
+declared by norms._DenseParams and passed in as operands);
+``fused_abby_tail`` is the logits-precomputed variant kept for direct
+callers and parity tests.
 
 The sliding windows run along the LANE (channel) axis as `size`
 unrolled `pltpu.roll` steps with edge masks — torch semantics
@@ -31,11 +34,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(x_ref, logits_ref, out_ref, *, size: int, alpha: float,
-            k: float, beta: float):
-    D = x_ref.shape[1]
-    x = x_ref[:].astype(jnp.float32)                       # (N, D)
-    logits = logits_ref[:].astype(jnp.float32)             # (N, 3)
+def abby_tail_compute(x, logits, *, size: int, alpha: float, k: float,
+                      beta: float):
+    """Eval-mode AbbyNormal tail on VALUES: ``x`` (N, D) f32, ``logits``
+    (N, 3) f32 -> normalized (N, D) f32.  Reused by other fused kernels
+    (the cross-attention step kernel inlines two of these)."""
+    D = x.shape[1]
 
     div = x * x
     mean_val = jnp.mean(jnp.abs(x), axis=-1, keepdims=True)
@@ -70,7 +74,41 @@ def _kernel(x_ref, logits_ref, out_ref, *, size: int, alpha: float,
     # decisions 0 and 2 both resolve to avg_d (confidence=None)
     mix = jnp.where(choice == 1, div2, avg_d)
     denom = jnp.exp(beta * jnp.log(mix * alpha + k))
-    out_ref[:] = (x / denom).astype(out_ref.dtype)
+    return x / denom
+
+
+def abby_full_compute(x, w1, b1, w2, b2, *, size: int, alpha: float,
+                      k: float, beta: float):
+    """The whole eval-mode AbbyNormal on VALUES: router MLP + tail.
+    ``x`` (N, D) in storage dtype; weights in storage dtype; biases as
+    (1, features) rows.  Matmuls run on the MXU in the storage dtype
+    with f32 accumulation (the same contraction XLA performs for the
+    nn.Dense pair); everything after is f32.  Returns (N, D) f32."""
+    h = (jnp.dot(x, w1, preferred_element_type=jnp.float32)
+         + b1.astype(jnp.float32))                          # (N, D) f32
+    h = jax.nn.silu(h)
+    logits = (jnp.dot(h.astype(x.dtype), w2,
+                      preferred_element_type=jnp.float32)
+              + b2.astype(jnp.float32))                     # (N, 3)
+    return abby_tail_compute(x.astype(jnp.float32), logits, size=size,
+                             alpha=alpha, k=k, beta=beta)
+
+
+def _kernel(x_ref, logits_ref, out_ref, *, size: int, alpha: float,
+            k: float, beta: float):
+    out = abby_tail_compute(x_ref[:].astype(jnp.float32),
+                            logits_ref[:].astype(jnp.float32),
+                            size=size, alpha=alpha, k=k, beta=beta)
+    out_ref[:] = out.astype(out_ref.dtype)
+
+
+def _full_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref, *,
+                 size: int, alpha: float, k: float, beta: float):
+    """Router MLP (Dense -> silu -> Dense) + the tail, one program."""
+    out = abby_full_compute(x_ref[:], w1_ref[:], b1_ref[:], w2_ref[:],
+                            b2_ref[:], size=size, alpha=alpha, k=k,
+                            beta=beta)
+    out_ref[:] = out.astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit,
@@ -84,19 +122,18 @@ def fused_abby_tail(x2, logits2, size: int, alpha: float, k: float,
     Every op is row-independent (all reductions run along D), so the
     program CAN tile N over a grid; partial edge blocks are safe
     (Mosaic masks the stores, and garbage rows never mix into other
-    rows' lane-axis reductions).  In production the norms.py call site
-    gates engagement to decode-prefix sizes (x.size <= 400k — encoder-
-    length calls measured faster on XLA, which fuses the tail into the
-    surrounding ops), so gated callers always take the single-block
-    whole-array path — the round-2-measured configuration.  The grid
-    path serves forced large-N use (PALLAS_ABBY=on, direct calls)."""
+    rows' lane-axis reductions).  norms.py routes through ``fused_abby``
+    (router matmuls included) since round 4; this logits-precomputed
+    variant serves direct callers and the parity tests."""
     N, D = x2.shape
     kernel = functools.partial(_kernel, size=size, alpha=float(alpha),
                                k=float(k), beta=float(beta))
     # single block for anything the production gate admits; beyond
     # that, TN=256 keeps ~6 (TN, D) f32 live temps under ~4 MB VMEM
-    # at the flagship D=512
-    tn = N if N * D <= 400_000 else 256
+    # at the flagship D=512.  min(N, .): a short-but-wide array
+    # (N < 256 with N*D > 400k, e.g. D=2048) must not request a block
+    # taller than the array — that would only waste padded compute.
+    tn = N if N * D <= 400_000 else min(N, 256)
     return pl.pallas_call(
         kernel,
         grid=(pl.cdiv(N, tn),),
@@ -111,3 +148,47 @@ def fused_abby_tail(x2, logits2, size: int, alpha: float, k: float,
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(x2, logits2)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("size", "alpha", "k", "beta",
+                                    "interpret"))
+def fused_abby(x2, w1, b1, w2, b2, size: int, alpha: float, k: float,
+               beta: float, interpret: bool = False):
+    """The WHOLE AbbyNormal eval program in one kernel: router MLP
+    (``w1``/``b1`` (D, D)/(D,), ``w2``/``b2`` (D, 3)/(3,)) + stats +
+    hard routing + windowed channel reductions + normalizer.
+
+    The decoder runs ~45 AbbyNormal applications per decode step (the
+    shared block ``ln``, every attention's q/kv/head norms, the MLP
+    norms); at decode sizes each XLA-routed application costs 3-4
+    kernel dispatches (two router matmuls + the fused tail).  Fusing
+    the router in cuts that to ONE dispatch per application — the
+    decode step is dispatch-latency-bound (BENCH_NOTES), so this is
+    the direct lever.  Weights are replicated across row-grid blocks
+    (index_map pins block 0)."""
+    N, D = x2.shape
+    kernel = functools.partial(_full_kernel, size=size,
+                               alpha=float(alpha), k=float(k),
+                               beta=float(beta))
+    tn = N if N * D <= 400_000 else min(N, 256)
+    return pl.pallas_call(
+        kernel,
+        grid=(pl.cdiv(N, tn),),
+        out_shape=jax.ShapeDtypeStruct((N, D), x2.dtype),
+        in_specs=[
+            pl.BlockSpec((tn, D), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, D), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, 3), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tn, D), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(x2, w1, b1.reshape(1, D), w2, b2.reshape(1, 3))

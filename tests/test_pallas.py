@@ -184,7 +184,9 @@ def test_fused_sheath_scan_bf16(monkeypatch):
                                      # N=4000 rows (N*D > 400k):
                                      # exercises the row grid (TN=256)
                                      # incl. a partial 160-row edge
-                                     # block — the forced-large-N path;
+                                     # block — the forced-large-N path
+                                     # (PALLAS_ABBY=on bypasses the
+                                     # x.size production gate);
                                      # production-gated sizes take the
                                      # single-block path
                                      (128, (40, 100, 128))])
@@ -193,6 +195,7 @@ def test_fused_abby_tail_matches_xla(D, shape, monkeypatch):
     channel reductions + normalizer) must match the XLA path at eval,
     including 4-D head-norm shapes and grid-tiled row counts."""
     import asr_model_tpu.models.norms as norms_mod
+    import asr_model_tpu.ops.pallas.abby_kernel as abby_mod
     from asr_model_tpu.models.norms import AbbyNormal
 
     rng = np.random.RandomState(0)
@@ -202,7 +205,45 @@ def test_fused_abby_tail_matches_xla(D, shape, monkeypatch):
     monkeypatch.setattr(norms_mod, "_PALLAS_ABBY", "off")
     want = m.apply(variables, x)
     monkeypatch.setattr(norms_mod, "_PALLAS_ABBY", "on")
+    calls = []
+    real = abby_mod.fused_abby
+
+    def spy(*a, **kw):
+        calls.append(a[0].shape)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(abby_mod, "fused_abby", spy)
     got = m.apply(variables, x)
+    assert calls, "PALLAS_ABBY=on must engage the fused kernel"
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_fused_abby_tail_short_wide_block_clamp():
+    """Direct-call case for the tn=min(N, 256) clamp: N < 256 rows but
+    N*D past the single-block budget (D=2048) must not request a block
+    taller than the array."""
+    from asr_model_tpu.ops.pallas.abby_kernel import fused_abby_tail
+
+    rng = np.random.RandomState(3)
+    N, D = 250, 2048
+    x2 = jnp.asarray(rng.randn(N, D), jnp.float32)
+    logits2 = jnp.asarray(rng.randn(N, 3), jnp.float32)
+    size = max(3, int(D * 0.05)) | 1
+    got = fused_abby_tail(x2, logits2, size=size, alpha=1e-4, k=1.0,
+                          beta=0.75, interpret=True)
+
+    # XLA reference (the eval-mode deterministic routing of norms.py)
+    from asr_model_tpu.models.norms import window_reduce_last
+    div = x2 * x2
+    mean_val = jnp.mean(jnp.abs(x2), axis=-1, keepdims=True)
+    cv = jnp.std(x2, axis=-1, keepdims=True, ddof=1) / (mean_val + 1e-6)
+    choice = jnp.argmax(logits2 + cv, axis=-1, keepdims=True)
+    avg_d = window_reduce_last(div, size, "mean")
+    max_d = window_reduce_last(div, size, "max")
+    div2 = jnp.where(max_d > 2.0 * avg_d, max_d, avg_d)
+    mix = jnp.where(choice == 1, div2, avg_d)
+    want = x2 / (mix * 1e-4 + 1.0) ** 0.75
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-5, rtol=1e-4)
 
