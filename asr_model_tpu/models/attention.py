@@ -34,6 +34,7 @@ variable-length prefix).
 from __future__ import annotations
 
 import math
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -86,6 +87,16 @@ def rbf_scores(q: jnp.ndarray, k: jnp.ndarray, rbf_sigma: float = 1.0,
 # TPU to ops/pallas/attention_kernel.flash_attention; "on" forces it
 # (interpret mode off-TPU, for tests); "off" disables.
 FLASH = "auto"
+
+# Fused whole-call decode attention (ops/pallas/xattn_kernel).
+# Default "off" — MEASURED regression on the headline decode (bench.py
+# B=8: 396.9x -> 363.4x with the whole-call kernels engaged): the
+# kernel serializes the per-batch/per-head attention matmuls that XLA
+# runs as one batched contraction, and its f32 internal windows cost
+# more VPU time than the dispatches it saves.  "on" forces (interpret
+# off-TPU — how the parity tests run it); "auto" routes eligible
+# eval-mode calls on TPU.
+_PALLAS_XATTN = os.environ.get("PALLAS_XATTN", "off").lower()
 
 # below these, the (Tq, Tk) score tile fits comfortably and the plain
 # XLA path (one fused softmax) is faster than paying kernel dispatch
@@ -182,6 +193,99 @@ class Attention(nn.Module):
             self.head_mix = self.param(
                 "head_mix", tlayers.torch_kernel_init(), (h, h))
 
+    # ---- fused whole-call decode kernel plumbing (xattn_kernel) ----
+
+    def _abby_size(self, d: int) -> int:
+        return max(3, int(d * 0.05)) | 1          # odd, >= 3 (norms.py)
+
+    def _fused_call_eligible(self, x, kv_elems_per_row: int,
+                             kv_limit: int) -> bool:
+        """Gate for the whole-call fused kernels: eval only (no gumbel
+        rng — the same proxy the AbbyNormal gate uses; init runs the
+        XLA path so every param is created), AbbyNormal norms,
+        lane-aligned dims AND head_dim (the in-kernel window rolls),
+        decode-prefix x sizes (encoder-length calls measured faster on
+        XLA — the norms.py gate rationale), bounded per-row KV VMEM
+        (``kv_limit``: the cached variant holds only processed K/V +
+        the score row, the full variant materializes the whole kv-side
+        chain in VMEM, so its bound is much tighter)."""
+        from asr_model_tpu.models.norms import AbbyNormal
+
+        if _PALLAS_XATTN == "off":
+            return False
+        if _PALLAS_XATTN != "on" and default_platform() != "tpu":
+            return False
+        if self.is_initializing() or self.has_rng("gumbel"):
+            return False
+        d = self.dims
+        hd = d // self.head
+        if d % 128 != 0 or hd % 128 != 0:
+            return False
+        if not isinstance(self.q_norm, AbbyNormal):
+            return False
+        if x.dtype not in (jnp.bfloat16, jnp.float32):
+            return False
+        if x.size > 400_000 or kv_elems_per_row > kv_limit:
+            return False
+        return True
+
+    # cached: processed K/V tiles + one score row live in VMEM
+    _KV_LIMIT_CACHED = 4096 * 512
+    # full: the whole kv-side chain (abby + 2D-wide projection +
+    # per-head norms) materializes in VMEM -> decode-prefix sources only
+    _KV_LIMIT_FULL = 256 * 512
+
+    def _norm_w(self, mod, dt):
+        p = mod.variables["params"]
+        return {"n_w1": p["router_in"]["kernel"].astype(dt),
+                "n_b1": p["router_in"]["bias"].astype(dt),
+                "n_w2": p["router_out"]["kernel"].astype(dt),
+                "n_b2": p["router_out"]["bias"].astype(dt)}
+
+    def _proj_w(self, mod, dt):
+        p = mod.variables["params"]
+        return {"proj_w": p["kernel"].astype(dt),
+                "proj_b": p["bias"].astype(dt)}
+
+    def _fused_freqs(self, causal: bool):
+        from asr_model_tpu.models.rotary import compute_freqs
+        from asr_model_tpu.ops.pallas.xattn_kernel import tiled_freqs
+        return jnp.asarray(tiled_freqs(
+            compute_freqs(self.dims, self.head, causal), self.head))
+
+    def _fused_cached(self, x, kn, v, kv_valid):
+        from asr_model_tpu.ops.pallas.xattn_kernel import fused_attn_cached
+
+        dt = x.dtype
+        n = self.q_norm
+        return fused_attn_cached(
+            x, kn.astype(dt), v.astype(dt), kv_valid,
+            self._fused_freqs(causal=False),
+            self._norm_w(self.q_norm, dt) | self._proj_w(self.q_proj, dt),
+            self._norm_w(self.head_norm, dt),
+            self._proj_w(self.out_proj, dt),
+            head=self.head, size_d=self._abby_size(self.dims),
+            size_h=self._abby_size(self.dims // self.head),
+            alpha=n.alpha, k=n.k, beta=n.beta,
+            interpret=default_platform() != "tpu")
+
+    def _fused_full(self, x, xa, kv_valid, causal: bool):
+        from asr_model_tpu.ops.pallas.xattn_kernel import fused_attn_full
+
+        dt = x.dtype
+        n = self.q_norm
+        return fused_attn_full(
+            x, xa.astype(dt), kv_valid,
+            self._fused_freqs(causal), self._fused_freqs(causal),
+            self._norm_w(self.q_norm, dt) | self._proj_w(self.q_proj, dt),
+            self._norm_w(self.kv_norm, dt) | self._proj_w(self.kv_proj, dt),
+            self._norm_w(self.head_norm, dt),
+            self._proj_w(self.out_proj, dt),
+            head=self.head, size_d=self._abby_size(self.dims),
+            size_h=self._abby_size(self.dims // self.head),
+            alpha=n.alpha, k=n.k, beta=n.beta, causal=causal,
+            interpret=default_platform() != "tpu")
+
     def _q(self, x):
         return _split_heads(self.q_proj(self.q_norm(x)), self.head)
 
@@ -243,15 +347,19 @@ class Attention(nn.Module):
         scale = (self.dims // self.head) ** -0.25
         if cached_kv is not None:
             kn, v = cached_kv
-            q = self._q(x) * scale
-            q = self.rot(q, cond=x, causal=False)
-            qn = self.head_norm(q)
             # long-form SP: inside a parallel.seq.seq_sharding context
             # the per-step cross-attention over the (long) cached KV
             # runs as a distributed online-softmax over the 'seq' axis
             from asr_model_tpu.parallel.seq import (active_seq_sharding,
                                                     seq_sharded_attention)
             ctx = active_seq_sharding()
+            if ctx is None and self._fused_call_eligible(
+                    x, kn.shape[1] * kn.shape[2] * kn.shape[3],
+                    self._KV_LIMIT_CACHED):
+                return self._fused_cached(x, kn, v, kv_valid)
+            q = self._q(x) * scale
+            q = self.rot(q, cond=x, causal=False)
+            qn = self.head_norm(q)
             if ctx is not None:
                 mesh, ax = ctx
                 a = seq_sharded_attention(qn, kn, v, mesh=mesh, axis=ax,
@@ -260,6 +368,12 @@ class Attention(nn.Module):
                 a = sdpa(qn, kn, v, causal=False, kv_valid=kv_valid)
             return self.out_proj(_merge_heads(a))
         kv_src = xa if xa is not None else x
+        if pt is None and not (self.modal and return_modal) \
+                and self._fused_call_eligible(
+                    x, kv_src.shape[1] * self.dims, self._KV_LIMIT_FULL):
+            from asr_model_tpu.parallel.seq import active_seq_sharding
+            if active_seq_sharding() is None:
+                return self._fused_full(x, kv_src, kv_valid, causal)
         k, v = self._kv(kv_src)
         q = self._q(x)
 

@@ -45,6 +45,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+import os
+
 from asr_model_tpu.config import THETA
 from asr_model_tpu.models import tlayers
 from asr_model_tpu.models.attention import Attention
@@ -53,6 +55,16 @@ from asr_model_tpu.models.registry import get_activation, get_norm
 from asr_model_tpu.models.moe import MoEMLP
 from asr_model_tpu.models.sheath import MSheath
 from asr_model_tpu.ops.audio import sinusoids
+from asr_model_tpu.utils import default_platform
+
+# Fused residual-MLP tail (ops/pallas/mlp_kernel).  Default "off" —
+# MEASURED neutral-to-negative on the headline decode (bench.py B=8:
+# 411.3x abby-only -> 396.9x with mlp+router kernels added): XLA's
+# fused elementwise chains around the two big matmuls beat the
+# kernel's f32 internal arithmetic + per-block weight residency.
+# "on" forces (interpret off-TPU — the parity tests); "auto" routes
+# eligible eval-mode calls on TPU.
+_PALLAS_MLP = os.environ.get("PALLAS_MLP", "off").lower()
 
 
 def quantize_pitch(pt: jnp.ndarray, num_bins: int = 256,
@@ -95,6 +107,55 @@ class Residual(nn.Module):
                                         name="mlp_in")
             self.mlp_out = tlayers.Dense(d, d * self.num_types,
                                          name="mlp_out")
+
+    def _mlp_fused_eligible(self, x) -> bool:
+        """Gate for the one-dispatch residual-MLP tail: eval only (no
+        gumbel rng — init runs the XLA path so every param exists),
+        AbbyNormal ln, exact-erf gelu, dense MLP (no MoE),
+        lane-aligned dims, decode-prefix sizes (the norms.py gate
+        rationale)."""
+        from asr_model_tpu.models.norms import AbbyNormal
+
+        if _PALLAS_MLP == "off":
+            return False
+        if _PALLAS_MLP != "on" and default_platform() != "tpu":
+            return False
+        if self.is_initializing() or self.has_rng("gumbel"):
+            return False
+        if self.moe_experts > 0 or self.act != "gelu":
+            return False
+        if not isinstance(self.ln, AbbyNormal):
+            return False
+        if x.dtype not in (jnp.bfloat16, jnp.float32):
+            return False
+        return self.dims % 128 == 0 and x.size <= 400_000
+
+    def _mlp_residual_fused(self, x):
+        """x + _mlp(x) in one Pallas dispatch (ops/pallas/mlp_kernel)."""
+        from asr_model_tpu.ops.pallas.mlp_kernel import fused_mlp_residual
+
+        dt = x.dtype
+        d = self.dims
+        lp = self.ln.variables["params"]
+        tp = self.tgate.variables["params"]
+        ln_w = tuple(a.astype(dt) for a in (
+            lp["router_in"]["kernel"], lp["router_in"]["bias"],
+            lp["router_out"]["kernel"], lp["router_out"]["bias"]))
+        gates = [(tp[f"ga{i}"]["kernel"].astype(dt),
+                  tp[f"ga{i}"]["bias"].astype(dt))
+                 for i in range(self.num_types)]
+        ip = self.mlp_in.variables["params"]
+        op = self.mlp_out.variables["params"]
+        size_d = max(3, int(d * 0.05)) | 1
+        out = fused_mlp_residual(
+            x.reshape(-1, d), ln_w,
+            tp["cs"]["kernel"].astype(dt), tp["cs"]["bias"].astype(dt),
+            gates, ip["kernel"].astype(dt), ip["bias"].astype(dt),
+            op["kernel"].astype(dt), op["bias"].astype(dt),
+            num_types=self.num_types, size_d=size_d,
+            alpha=self.ln.alpha, k=self.ln.k, beta=self.ln.beta,
+            interpret=default_platform() != "tpu")
+        return out.reshape(x.shape)
 
     def _mlp(self, x):
         h = self.ln(x)
@@ -145,6 +206,8 @@ class Residual(nn.Module):
                               xa=self.router(*[xa] * n_router), pt=pt,
                               causal=cross_causal,
                               kv_valid=xa_valid)
+        if self._mlp_fused_eligible(x):
+            return self._mlp_residual_fused(x)
         return x + self._mlp(x)
 
 
@@ -277,6 +340,8 @@ class StreamingResidual:
             q3 = blk.attn.q_step(blk.ln(x2), pos, causal=True)
             x2 = x2 + blk.attn.attend_cached(q3, st["xa_k"], st["xa_v"],
                                              kv_valid=prefix_valid)
+        if blk._mlp_fused_eligible(x2):
+            return blk._mlp_residual_fused(x2), st
         return x2 + blk._mlp(x2), st
 
 

@@ -12,6 +12,7 @@ gates weighted by a softmax classifier), ``router`` model.py:537-557
 from __future__ import annotations
 
 import math
+import os
 from typing import Optional
 
 import jax
@@ -19,6 +20,15 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from asr_model_tpu.models import tlayers
+from asr_model_tpu.utils import default_platform
+
+# Fused identical-input Router (ops/pallas/router_kernel).  Default
+# "off" — measured neutral-to-negative on the headline decode together
+# with the MLP kernel (bench.py B=8: 411.3x -> 396.9x); see the
+# PALLAS_MLP note in models/decoder.py.  "on" forces (interpret
+# off-TPU — the parity tests); "auto" routes eligible eval-mode calls
+# on TPU.
+_PALLAS_ROUTER = os.environ.get("PALLAS_ROUTER", "off").lower()
 
 
 def _topk_hard(scores: jnp.ndarray, num: int) -> jnp.ndarray:
@@ -73,16 +83,63 @@ class Router(nn.Module):
     dims: int
     num_types: int
 
+    def _fused_eligible(self, modalities) -> bool:
+        """One-dispatch kernel for the identical-input calls every
+        decoder site makes (``router(*[x] * n)``): eval only (no
+        gumbel rng — init runs the XLA path so the params exist),
+        lane-aligned dims, decode-prefix sizes."""
+        if _PALLAS_ROUTER == "off":
+            return False
+        if _PALLAS_ROUTER != "on" and default_platform() != "tpu":
+            return False
+        if self.is_initializing() or self.has_rng("gumbel"):
+            return False
+        x = modalities[0]
+        if any(m is not x for m in modalities[1:]):
+            return False
+        if x.dtype not in (jnp.bfloat16, jnp.float32):
+            return False
+        return x.shape[-1] % 128 == 0 and x.size <= 400_000 \
+            and x.shape[-1] == self.dims
+
     @nn.compact
     def __call__(self, *modalities):
         nt = self.num_types
+        n_mod = len(modalities)
+        from asr_model_tpu.models.norms import _DenseParams
+        # the reference's Dense shapes its kernel lazily from the
+        # STACKED input (dims * n_modalities) while its bias bound uses
+        # the declared dims * num_types (model.py:541-543 semantics as
+        # reproduced by tlayers.Dense) — preserved exactly
+        w_top, b_top = _DenseParams(nt, self.dims * n_mod,
+                                    bias_fan_in=self.dims * nt,
+                                    name="top")()
+        w_soft, b_soft = _DenseParams(nt, self.dims * n_mod,
+                                      bias_fan_in=self.dims * nt,
+                                      name="soft")()
+        alpha_p = self.param("alpha", nn.initializers.ones, (1,))
+
+        if self._fused_eligible(modalities):
+            from asr_model_tpu.ops.pallas.router_kernel import \
+                fused_router_same
+
+            x = modalities[0]
+            dt = x.dtype
+            out = fused_router_same(
+                x.reshape(-1, self.dims), w_top.astype(dt),
+                b_top.astype(dt), w_soft.astype(dt), b_soft.astype(dt),
+                alpha_p, num_types=nt, n_mod=n_mod,
+                interpret=default_platform() != "tpu")
+            return out.reshape(x.shape)
+
         stack = jnp.stack(modalities, axis=-1)                  # (b,c,d,nt)
         b, c = stack.shape[0], stack.shape[1]
         flat = stack.reshape(b, c, -1)                          # (b,c,d*nt)
-        top = tlayers.Dense(nt, self.dims * nt, name="top")(flat)
-        soft = jax.nn.softmax(
-            tlayers.Dense(nt, self.dims * nt, name="soft")(flat), -1)
-        alpha = nn.sigmoid(self.param("alpha", nn.initializers.ones, (1,)))
+        flat, w_t, b_t, w_s, b_s = nn.dtypes.promote_dtype(
+            flat, w_top, b_top, w_soft, b_soft, dtype=None)
+        top = flat @ w_t + b_t
+        soft = jax.nn.softmax(flat @ w_s + b_s, -1)
+        alpha = nn.sigmoid(alpha_p)
         weights = alpha * _topk_hard(top, 2) + (1 - alpha) * soft
         return jnp.sum(stack * weights[..., None, :], axis=-1)
 

@@ -36,6 +36,25 @@ from asr_model_tpu.config import BOS_ID, EOS_ID, PAD_ID
 from asr_model_tpu.models.model import Model, modality_slots
 
 
+def _bucket_sizes(T: int, n_stages: int = 4):
+    """Prefix-bucket buffer widths for a 1+max_new_tokens decode.
+
+    The parity model's buffer decode recomputes the whole buffer per
+    token, and per-step cost scales with buffer ROWS (measured:
+    per-chip decode throughput is flat in batch, BENCH_NOTES) — so
+    short prefixes should run in short buffers.  Quarter-point stages
+    cut average processed width ~37% at 64 tokens.  Numerics are
+    IDENTICAL to the full-width buffer: every length-dependent op
+    (attention, MSheath pooling, router inputs, position slicing)
+    already consumes the validity mask, and positions are absolute —
+    tested token-exact (tests/test_model.py)."""
+    if T <= 24 or n_stages <= 1:
+        return [T]
+    sizes = sorted({min(T, 1 + ((T - 1) * k + n_stages - 1)
+                        // n_stages) for k in range(1, n_stages + 1)})
+    return [s for s in sizes if s >= 8] or [T]
+
+
 @functools.lru_cache(maxsize=32)
 def _build_decode_fn(model: Model, max_new_tokens: int,
                      suppress_eos: bool, sp_ctx=None):
@@ -46,6 +65,7 @@ def _build_decode_fn(model: Model, max_new_tokens: int,
     non-SP entry (ADVICE r2)."""
     del sp_ctx  # key-only; the traced body reads the live context
     T = 1 + max_new_tokens
+    stages = _bucket_sizes(T)
 
     def decode(variables, xa):
         xa_enc = model.apply(variables, xa, method=Model.encode)
@@ -63,32 +83,42 @@ def _build_decode_fn(model: Model, max_new_tokens: int,
         batch = fx.shape[0]
         ids0 = jnp.full((batch, T), PAD_ID, jnp.int32).at[:, 0].set(BOS_ID)
 
-        def cond(carry):
-            ids, length, done = carry
-            return (length < T) & ~jnp.all(done)
+        def make_step(s):
+            """One decode step over the width-``s`` prefix bucket: the
+            model processes ids[:, :s] (masked to the live prefix);
+            the new token writes into the FULL (B, T) buffer."""
+            def step(carry):
+                ids, length, done = carry
+                window = jax.lax.slice_in_dim(ids, 0, s, axis=1)
+                valid = jnp.broadcast_to(
+                    jnp.arange(s)[None, :] < length, (batch, s))
+                idx = jnp.clip(length - 1, 0, s - 1)
+                logits = model.apply(variables, window, xa_kv,
+                                     method=_decode_step,
+                                     text_valid=valid,
+                                     logits_position=idx)
+                next_logits = logits[:, 0]                # (B, vocab)
+                if suppress_eos:
+                    allow = length >= (T - 1)   # the FULL token budget
+                    masked = jnp.where(allow, next_logits[:, EOS_ID],
+                                       -jnp.inf)
+                    next_logits = next_logits.at[:, EOS_ID].set(masked)
+                nxt = jnp.argmax(next_logits, axis=-1).astype(jnp.int32)
+                nxt = jnp.where(done, jnp.asarray(PAD_ID, jnp.int32), nxt)
+                col = jnp.arange(T) == length
+                ids = jnp.where(col[None, :], nxt[:, None], ids)
+                done = done | (nxt == EOS_ID)
+                return ids, length + 1, done
+            return step
 
-        def step(carry):
-            ids, length, done = carry
-            valid = jnp.broadcast_to(jnp.arange(T)[None, :] < length,
-                                     (batch, T))
-            idx = jnp.clip(length - 1, 0, T - 1)
-            logits = model.apply(variables, ids, xa_kv,
-                                 method=_decode_step, text_valid=valid,
-                                 logits_position=idx)
-            next_logits = logits[:, 0]                    # (B, vocab)
-            if suppress_eos:
-                allow = length >= (T - 1)
-                masked = jnp.where(allow, next_logits[:, EOS_ID], -jnp.inf)
-                next_logits = next_logits.at[:, EOS_ID].set(masked)
-            nxt = jnp.argmax(next_logits, axis=-1).astype(jnp.int32)
-            nxt = jnp.where(done, jnp.asarray(PAD_ID, jnp.int32), nxt)
-            col = jnp.arange(T) == length
-            ids = jnp.where(col[None, :], nxt[:, None], ids)
-            done = done | (nxt == EOS_ID)
-            return ids, length + 1, done
-
-        init = (ids0, jnp.asarray(1, jnp.int32), jnp.zeros(batch, bool))
-        ids, _, _ = jax.lax.while_loop(cond, step, init)
+        carry = (ids0, jnp.asarray(1, jnp.int32), jnp.zeros(batch, bool))
+        for s in stages:
+            # bucket s serves lengths < s (the step at length L reads
+            # positions 0..L-1 and writes position L <= s-1)
+            carry = jax.lax.while_loop(
+                lambda c, s=s: (c[1] < s) & ~jnp.all(c[2]),
+                make_step(s), carry)
+        ids, _, _ = carry
         return ids
 
     return jax.jit(decode)

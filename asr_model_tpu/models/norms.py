@@ -68,17 +68,24 @@ class _DenseParams(nn.Module):
     rng over the variable PATH, the same init VALUES) without running
     the matmul, so a caller can feed the weights to a fused kernel.
     Checkpoint-tree-identical to ``tlayers.Dense(features, in_features,
-    name=...)``."""
+    name=...)``.
+
+    ``bias_fan_in``: nn.Dense shapes the kernel lazily from the INPUT
+    (fan_in = in_features) but tlayers.Dense binds the bias bound to
+    the in_features ARGUMENT — a caller whose declared width differs
+    from the input width (gates.Router) reproduces that split here."""
 
     features: int
     in_features: int
+    bias_fan_in: Optional[int] = None
 
     @nn.compact
     def __call__(self):
         kernel = self.param("kernel", tlayers.torch_kernel_init(),
                             (self.in_features, self.features))
         bias = self.param("bias",
-                          tlayers.torch_bias_init(self.in_features),
+                          tlayers.torch_bias_init(
+                              self.bias_fan_in or self.in_features),
                           (self.features,))
         return kernel, bias
 

@@ -260,3 +260,30 @@ def test_streaming_prefix_masking_matches_unpadded():
     np.testing.assert_allclose(np.asarray(out_short),
                                np.asarray(out_masked)[:, :3], atol=2e-4,
                                rtol=1e-3)
+
+
+def test_staged_bucket_decode_token_exact(setup):
+    """The prefix-bucket decode (generate._bucket_sizes: short prefixes
+    run in short buffers) must emit EXACTLY the tokens of a full-width
+    single-bucket decode — every length-dependent op is masked, so the
+    buffer width is numerics-invisible."""
+    from asr_model_tpu.models import generate as G
+
+    model, variables, batch, _ = setup
+    kw = dict(spectrogram=batch["spectrogram"], pitch=batch["pitch"],
+              waveform=batch["waveform"])
+    assert len(G._bucket_sizes(1 + 30)) > 1   # staged at this budget
+    staged = np.asarray(G.greedy_decode(model, variables,
+                                        max_new_tokens=30,
+                                        suppress_eos=True, **kw))
+    G._build_decode_fn.cache_clear()
+    orig = G._bucket_sizes
+    try:
+        G._bucket_sizes = lambda T, n_stages=4: [T]
+        single = np.asarray(G.greedy_decode(model, variables,
+                                            max_new_tokens=30,
+                                            suppress_eos=True, **kw))
+    finally:
+        G._bucket_sizes = orig
+        G._build_decode_fn.cache_clear()
+    np.testing.assert_array_equal(staged, single)

@@ -262,3 +262,233 @@ def test_fused_abby_tail_gumbel_rng_falls_back(monkeypatch):
     o2 = m.apply(variables, x, rngs={"gumbel": jax.random.key(2)})
     # different gumbel keys can route differently -> just check it runs
     assert o1.shape == o2.shape == x.shape
+
+
+# ---- fused whole-call decode attention (ops/pallas/xattn_kernel) ----
+
+def _attn_module_and_vars(dims=256, head=2, T=10, Ta=None, seed=0):
+    from asr_model_tpu.models.attention import Attention
+
+    rng = np.random.RandomState(seed)
+    m = Attention(dims=dims, head=head, layer=2, n_type="AbbyNormal")
+    x = jnp.asarray(rng.randn(2, T, dims) * 0.5, jnp.float32)
+    xa = (None if Ta is None
+          else jnp.asarray(rng.randn(2, Ta, dims) * 0.5, jnp.float32))
+    variables = m.init({"params": jax.random.key(3)}, x, xa=xa)
+    return m, variables, x, xa
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_fused_attn_full_self_matches_xla(causal, monkeypatch):
+    """The whole-call fused self-attention kernel (q/kv AbbyNormals,
+    projections, signal-adaptive rotary, per-head norms, softmax,
+    out_proj in ONE program) must match the XLA path at eval."""
+    import asr_model_tpu.models.attention as am
+
+    m, variables, x, _ = _attn_module_and_vars()
+    valid = jnp.asarray(np.arange(x.shape[1])[None, :] < 8
+                        ).repeat(2, axis=0)
+    monkeypatch.setattr(am, "_PALLAS_XATTN", "off")
+    want = m.apply(variables, x, causal=causal, kv_valid=valid)
+    monkeypatch.setattr(am, "_PALLAS_XATTN", "on")
+    got = m.apply(variables, x, causal=causal, kv_valid=valid)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=5e-5, rtol=5e-4)
+
+
+def test_fused_attn_full_cross_matches_xla(monkeypatch):
+    """Full cross-attention (the g-block call: kv side computed from
+    xa) through the fused kernel."""
+    import asr_model_tpu.models.attention as am
+
+    m, variables, x, xa = _attn_module_and_vars(T=10, Ta=12, seed=1)
+    monkeypatch.setattr(am, "_PALLAS_XATTN", "off")
+    want = m.apply(variables, x, xa=xa)
+    monkeypatch.setattr(am, "_PALLAS_XATTN", "on")
+    got = m.apply(variables, x, xa=xa)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=5e-5, rtol=5e-4)
+
+
+def test_fused_attn_cached_matches_xla(monkeypatch):
+    """Cached-KV cross-attention (the b/c/d decode calls against the
+    per-utterance audio KV cache) through the fused kernel, with and
+    without a kv validity mask."""
+    import asr_model_tpu.models.attention as am
+    from asr_model_tpu.models.attention import Attention
+
+    m, variables, x, xa = _attn_module_and_vars(T=6, Ta=20, seed=2)
+    kv = m.apply(variables, xa, method=Attention.precompute_kv)
+    valid = jnp.asarray(np.arange(20)[None, :] < 15).repeat(2, axis=0)
+    for kv_valid in (None, valid):
+        monkeypatch.setattr(am, "_PALLAS_XATTN", "off")
+        want = m.apply(variables, x, cached_kv=kv, kv_valid=kv_valid)
+        monkeypatch.setattr(am, "_PALLAS_XATTN", "on")
+        got = m.apply(variables, x, cached_kv=kv, kv_valid=kv_valid)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=5e-5, rtol=5e-4)
+
+
+def test_fused_attn_gates(monkeypatch):
+    """The fused call must NOT engage with a gumbel rng (training), at
+    encoder sizes, or at non-lane-aligned head dims."""
+    import asr_model_tpu.models.attention as am
+
+    m, variables, x, _ = _attn_module_and_vars()
+    monkeypatch.setattr(am, "_PALLAS_XATTN", "on")
+    calls = []
+
+    def boom(*a, **kw):
+        calls.append(1)
+        raise AssertionError("fused path engaged")
+
+    monkeypatch.setattr(am.Attention, "_fused_full", boom)
+    # training (gumbel rng present) -> XLA path
+    m.apply(variables, x, causal=True,
+            rngs={"gumbel": jax.random.key(0)})
+    # hd = 64 (not lane-aligned) -> XLA path
+    m2, v2, x2, _ = _attn_module_and_vars(dims=128, head=2, seed=4)
+    m2.apply(v2, x2, causal=True)
+    assert not calls
+
+
+# ---- fused residual-MLP tail (ops/pallas/mlp_kernel) ----
+
+@pytest.mark.parametrize("shape", [(2, 6, 128),
+                                   # N*D past the single-block budget:
+                                   # row grid incl. a partial block
+                                   (4, 400, 128)])
+def test_fused_mlp_residual_matches_xla(shape, monkeypatch):
+    """x + Residual._mlp(x) as ONE dispatch (shared-AbbyNormal ln,
+    TGate, exact-gelu MLP pair) must match the XLA path at eval."""
+    import asr_model_tpu.models.decoder as dm
+    from asr_model_tpu.models.decoder import Residual
+
+    rng = np.random.RandomState(7)
+    m = Residual(dims=128, head=2, layer=2, act="gelu",
+                 n_type="AbbyNormal")
+    x = jnp.asarray(rng.randn(*shape) * 0.5, jnp.float32)
+    variables = m.init({"params": jax.random.key(0)}, x)
+    monkeypatch.setattr(dm, "_PALLAS_MLP", "off")
+    want = m.apply(variables, x)
+    monkeypatch.setattr(dm, "_PALLAS_MLP", "on")
+    got = m.apply(variables, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=5e-5, rtol=5e-4)
+
+
+def test_fused_mlp_gates(monkeypatch):
+    """No fused MLP with a gumbel rng (training), non-gelu acts, or
+    MoE blocks."""
+    import asr_model_tpu.models.decoder as dm
+    from asr_model_tpu.models.decoder import Residual
+
+    rng = np.random.RandomState(8)
+    x = jnp.asarray(rng.randn(2, 4, 128), jnp.float32)
+    monkeypatch.setattr(dm, "_PALLAS_MLP", "on")
+
+    def boom(self, x):
+        raise AssertionError("fused mlp engaged")
+
+    monkeypatch.setattr(dm.Residual, "_mlp_residual_fused", boom)
+    m = Residual(dims=128, head=2, layer=2, act="gelu",
+                 n_type="AbbyNormal")
+    variables = m.init({"params": jax.random.key(0)}, x)
+    m.apply(variables, x, rngs={"gumbel": jax.random.key(1)})
+    m2 = Residual(dims=128, head=2, layer=2, act="relu",
+                  n_type="AbbyNormal")
+    v2 = m2.init({"params": jax.random.key(0)}, x)
+    m2.apply(v2, x)
+
+
+# ---- fused identical-input Router (ops/pallas/router_kernel) ----
+
+@pytest.mark.parametrize("shape,n_mod", [((2, 6, 128), 3),
+                                         ((4, 500, 256), 3),
+                                         # layer=2 models route ONE
+                                         # modality (n_router=layer-1)
+                                         ((2, 6, 128), 1)])
+def test_fused_router_matches_xla(shape, n_mod, monkeypatch):
+    """Router(*[x]*n_mod) as ONE dispatch (collapsed concat
+    contraction + in-kernel top-2 scatter) must match the XLA path at
+    eval, including the n_mod != num_types case (kernel width follows
+    the stacked input, bias bound follows num_types — the reference's
+    lazy-Dense split)."""
+    import asr_model_tpu.models.gates as gm
+    from asr_model_tpu.models.gates import Router
+
+    rng = np.random.RandomState(9)
+    m = Router(dims=shape[-1], num_types=3)
+    x = jnp.asarray(rng.randn(*shape), jnp.float32)
+    mods = (x,) * n_mod
+    variables = m.init({"params": jax.random.key(0)}, *mods)
+    monkeypatch.setattr(gm, "_PALLAS_ROUTER", "off")
+    want = m.apply(variables, *mods)
+    monkeypatch.setattr(gm, "_PALLAS_ROUTER", "on")
+    got = m.apply(variables, *mods)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=5e-5, rtol=5e-4)
+
+
+def test_fused_router_distinct_inputs_fall_back(monkeypatch):
+    """Distinct modalities must use the full stacked XLA math even
+    when the kernel is forced on."""
+    import asr_model_tpu.models.gates as gm
+    from asr_model_tpu.models.gates import Router
+
+    rng = np.random.RandomState(10)
+    m = Router(dims=128, num_types=3)
+    a = jnp.asarray(rng.randn(1, 4, 128), jnp.float32)
+    b = jnp.asarray(rng.randn(1, 4, 128), jnp.float32)
+    variables = m.init({"params": jax.random.key(0)}, a, b, a)
+    monkeypatch.setattr(gm, "_PALLAS_ROUTER", "on")
+
+    def boom(*args, **kw):
+        raise AssertionError("fused router engaged on distinct inputs")
+
+    import asr_model_tpu.ops.pallas.router_kernel as rk
+    monkeypatch.setattr(rk, "fused_router_same", boom)
+    out = m.apply(variables, a, b, a)
+    assert out.shape == a.shape
+
+
+def test_all_decode_kernels_compose_in_model_forward(monkeypatch):
+    """Eval-mode Model.forward with EVERY decode kernel forced on
+    (sheath, abby, whole-call attention, MLP tail, router — interpret
+    mode on CPU) must match the all-XLA logits: the kernels compose
+    through the full a/b/c/d/e/(d||e->g) block flow."""
+    import asr_model_tpu.models.attention as am
+    import asr_model_tpu.models.decoder as dm
+    import asr_model_tpu.models.gates as gm
+    import asr_model_tpu.models.norms as nm
+    import asr_model_tpu.models.sheath as sm
+    from asr_model_tpu.config import Dimensions, ModelConfig
+    from asr_model_tpu.models.model import Model
+
+    dims = Dimensions(tokens=96, mels=8, dims=256, head=2, layer=2)
+    model = Model(param=dims, cfg=ModelConfig(dims=dims))
+    rng = np.random.RandomState(11)
+    batch = {
+        "text_ids": jnp.asarray(rng.randint(3, 96, (2, 5)), jnp.int32),
+        "spectrogram": jnp.asarray(rng.randn(2, 8, 12), jnp.float32),
+    }
+    variables = jax.jit(lambda r, b: model.init(
+        {"params": r}, b["text_ids"],
+        spectrogram=b["spectrogram"]))(jax.random.key(0), batch)
+
+    def run():
+        out = model.apply(variables, batch["text_ids"],
+                          spectrogram=batch["spectrogram"])
+        return np.asarray(out["logits"])
+
+    for mod, name in ((sm, "_PALLAS_SHEATH"), (nm, "_PALLAS_ABBY"),
+                      (am, "_PALLAS_XATTN"), (dm, "_PALLAS_MLP"),
+                      (gm, "_PALLAS_ROUTER")):
+        monkeypatch.setattr(mod, name, "off")
+    want = run()
+    for mod, name in ((sm, "_PALLAS_SHEATH"), (nm, "_PALLAS_ABBY"),
+                      (am, "_PALLAS_XATTN"), (dm, "_PALLAS_MLP"),
+                      (gm, "_PALLAS_ROUTER")):
+        monkeypatch.setattr(mod, name, "on")
+    got = run()
+    np.testing.assert_allclose(got, want, atol=2e-3, rtol=2e-3)
