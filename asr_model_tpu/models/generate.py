@@ -157,6 +157,9 @@ def _build_prompted_decode_fn(model: Model, prompt_len: int,
                               sp_ctx=None):
     del sp_ctx  # cache-key-only (see _build_decode_fn)
     T = 1 + prompt_len + max_new_tokens
+    # prefix buckets (see _bucket_sizes) — only widths past the prompt
+    # can serve a step, so drop the smaller stages
+    stages = [s for s in _bucket_sizes(T) if s > 1 + prompt_len] or [T]
 
     def decode(variables, xa, prompt):
         xa_enc = model.apply(variables, xa, method=Model.encode)
@@ -177,34 +180,39 @@ def _build_prompted_decode_fn(model: Model, prompt_len: int,
         if prompt_len:
             ids0 = ids0.at[:, 1:1 + prompt_len].set(prompt)
 
-        def cond(carry):
-            ids, length, done = carry
-            return (length < T) & ~jnp.all(done)
+        def make_step(s):
+            def step(carry):
+                ids, length, done = carry
+                window = jax.lax.slice_in_dim(ids, 0, s, axis=1)
+                valid = jnp.broadcast_to(
+                    jnp.arange(s)[None, :] < length, (batch, s))
+                idx = jnp.clip(length - 1, 0, s - 1)
+                logits = model.apply(variables, window, xa_kv,
+                                     method=_decode_step,
+                                     text_valid=valid,
+                                     logits_position=idx)
+                next_logits = logits[:, 0]
+                if suppress_eos:
+                    allow = length >= (T - 1)
+                    masked = jnp.where(allow, next_logits[:, EOS_ID],
+                                       -jnp.inf)
+                    next_logits = next_logits.at[:, EOS_ID].set(masked)
+                nxt = jnp.argmax(next_logits, axis=-1).astype(jnp.int32)
+                nxt = jnp.where(done, jnp.asarray(PAD_ID, jnp.int32),
+                                nxt)
+                col = jnp.arange(T) == length
+                ids = jnp.where(col[None, :], nxt[:, None], ids)
+                done = done | (nxt == EOS_ID)
+                return ids, length + 1, done
+            return step
 
-        def step(carry):
-            ids, length, done = carry
-            valid = jnp.broadcast_to(jnp.arange(T)[None, :] < length,
-                                     (batch, T))
-            idx = jnp.clip(length - 1, 0, T - 1)
-            logits = model.apply(variables, ids, xa_kv,
-                                 method=_decode_step, text_valid=valid,
-                                 logits_position=idx)
-            next_logits = logits[:, 0]
-            if suppress_eos:
-                allow = length >= (T - 1)
-                masked = jnp.where(allow, next_logits[:, EOS_ID],
-                                   -jnp.inf)
-                next_logits = next_logits.at[:, EOS_ID].set(masked)
-            nxt = jnp.argmax(next_logits, axis=-1).astype(jnp.int32)
-            nxt = jnp.where(done, jnp.asarray(PAD_ID, jnp.int32), nxt)
-            col = jnp.arange(T) == length
-            ids = jnp.where(col[None, :], nxt[:, None], ids)
-            done = done | (nxt == EOS_ID)
-            return ids, length + 1, done
-
-        init = (ids0, jnp.asarray(1 + prompt_len, jnp.int32),
-                jnp.zeros(batch, bool))
-        ids, _, _ = jax.lax.while_loop(cond, step, init)
+        carry = (ids0, jnp.asarray(1 + prompt_len, jnp.int32),
+                 jnp.zeros(batch, bool))
+        for s in stages:
+            carry = jax.lax.while_loop(
+                lambda c, s=s: (c[1] < s) & ~jnp.all(c[2]),
+                make_step(s), carry)
+        ids, _, _ = carry
         return ids
 
     return jax.jit(decode)

@@ -118,13 +118,32 @@ def transcribe_long(model: Model, variables, audio: np.ndarray,
                              str(_param_dtype(variables)),
                              yin_pitch=use_pitch and yin)
 
+    # host-DIO prefetch: pitch depends only on the audio, not on the
+    # decode, so a worker thread computes every chunk's F0 track while
+    # the device decodes earlier chunks (native DIO releases the GIL
+    # for the ctypes call; ~0.6 s per 30 s chunk on a 1-core host —
+    # serial it dominates the steady-state long-form time)
+    pitch_futs = None
+    if use_pitch and not yin:
+        from concurrent.futures import ThreadPoolExecutor
+
+        def dio(c):
+            from asr_model_tpu.ops.pitch import pitch_track
+            return pitch_track(np.asarray(c), sample_rate, hop,
+                               estimator="dio")
+        pool = ThreadPoolExecutor(max_workers=1)
+        pitch_futs = [pool.submit(dio, c) for c in chunks]
+        pool.shutdown(wait=False)
+
     out_ids: List[int] = []
     prompt = np.zeros((0,), np.int32)
-    for c in chunks:
+    for k, c in enumerate(chunks):
         mel, pitch, wave = frontend(jnp.asarray(c))
-        if use_pitch and not yin:
-            pitch = _host_pitch(c, sample_rate, hop, mel.shape[-1],
-                                mel.dtype)
+        if pitch_futs is not None:
+            T = mel.shape[-1]
+            f0 = pitch_futs[k].result()
+            f0 = np.pad(f0, ((0, 0), (0, max(T - f0.shape[-1], 0))))[:, :T]
+            pitch = jnp.asarray(f0[None], mel.dtype)
         ids = greedy_decode_prompted(
             model, variables, jnp.asarray(prompt[None]),
             spectrogram=mel,
