@@ -124,8 +124,11 @@ def main():
                 3, dims.tokens, (b, 48)), jnp.int32)
             batch_d = {"text_ids": text, "labels": text,
                        "spectrogram": melb}
-            params = variables["params"]
-            bs = variables.get("batch_stats", {})
+            # fresh buffers per batch size: the jitted step DONATES
+            # params/batch_stats, so reusing variables[...] across
+            # sizes references deleted arrays
+            params = jax.tree.map(jnp.copy, variables["params"])
+            bs = jax.tree.map(jnp.copy, variables.get("batch_stats", {}))
             opt_state = tx.init(params)
             rng = jax.random.key(0)
             params, opt_state, bs, rng, loss, gn, _ = step_fn(
