@@ -36,18 +36,34 @@ from asr_model_tpu.config import BOS_ID, EOS_ID, PAD_ID
 from asr_model_tpu.models.model import Model, modality_slots
 
 
-def _bucket_sizes(T: int, n_stages: int = 4):
+def _decode_stages() -> int:
+    """Prefix-bucket stage count (GRAFT_DECODE_STAGES, default 4).
+
+    The per-step cost model (docs/BENCH_NOTES.md: 402.9x full-width ->
+    572.3x at 4 stages) implies ~linear width scaling over a ~28%
+    fixed serial floor; more stages shrink average width further at
+    the price of one more compiled loop body each."""
+    import os
+    try:
+        return max(1, int(os.environ.get("GRAFT_DECODE_STAGES", "4")))
+    except ValueError:
+        return 4
+
+
+def _bucket_sizes(T: int, n_stages: Optional[int] = None):
     """Prefix-bucket buffer widths for a 1+max_new_tokens decode.
 
     The parity model's buffer decode recomputes the whole buffer per
     token, and per-step cost scales with buffer ROWS (measured:
     per-chip decode throughput is flat in batch, BENCH_NOTES) — so
-    short prefixes should run in short buffers.  Quarter-point stages
-    cut average processed width ~37% at 64 tokens.  Numerics are
-    IDENTICAL to the full-width buffer: every length-dependent op
-    (attention, MSheath pooling, router inputs, position slicing)
-    already consumes the validity mask, and positions are absolute —
-    tested token-exact (tests/test_model.py)."""
+    short prefixes should run in short buffers.  Evenly-spaced stages
+    cut average processed width ~37% (4 stages) / ~43% (8) at 64
+    tokens.  Numerics are IDENTICAL to the full-width buffer: every
+    length-dependent op (attention, MSheath pooling, router inputs,
+    position slicing) already consumes the validity mask, and
+    positions are absolute — tested token-exact (tests/test_model.py)."""
+    if n_stages is None:
+        n_stages = _decode_stages()
     if T <= 24 or n_stages <= 1:
         return [T]
     sizes = sorted({min(T, 1 + ((T - 1) * k + n_stages - 1)
@@ -57,15 +73,17 @@ def _bucket_sizes(T: int, n_stages: int = 4):
 
 @functools.lru_cache(maxsize=32)
 def _build_decode_fn(model: Model, max_new_tokens: int,
-                     suppress_eos: bool, sp_ctx=None):
+                     suppress_eos: bool, sp_ctx=None, n_stages=None):
     """``sp_ctx`` is the active seq-sharding context (or None) — part
     of the cache key because the context is consulted at TRACE time by
     Attention: without it, a decode fn first traced inside a
     seq_sharding context would bake the SP routing into the cached
-    non-SP entry (ADVICE r2)."""
+    non-SP entry (ADVICE r2).  ``n_stages`` keys the bucket schedule
+    so a GRAFT_DECODE_STAGES change mid-process cannot serve a stale
+    compiled fn."""
     del sp_ctx  # key-only; the traced body reads the live context
     T = 1 + max_new_tokens
-    stages = _bucket_sizes(T)
+    stages = _bucket_sizes(T, n_stages)
 
     def decode(variables, xa):
         xa_enc = model.apply(variables, xa, method=Model.encode)
@@ -147,19 +165,20 @@ def greedy_decode(model: Model, variables, spectrogram=None, pitch=None,
     from asr_model_tpu.parallel.seq import active_seq_sharding
     xa = modality_slots(pitch, spectrogram, waveform, pitch_tokens)
     fn = _build_decode_fn(model, int(max_new_tokens), bool(suppress_eos),
-                          active_seq_sharding())
+                          active_seq_sharding(), _decode_stages())
     return fn(variables, xa)
 
 
 @functools.lru_cache(maxsize=32)
 def _build_prompted_decode_fn(model: Model, prompt_len: int,
                               max_new_tokens: int, suppress_eos: bool,
-                              sp_ctx=None):
+                              sp_ctx=None, n_stages=None):
     del sp_ctx  # cache-key-only (see _build_decode_fn)
     T = 1 + prompt_len + max_new_tokens
     # prefix buckets (see _bucket_sizes) — only widths past the prompt
     # can serve a step, so drop the smaller stages
-    stages = [s for s in _bucket_sizes(T) if s > 1 + prompt_len] or [T]
+    stages = [s for s in _bucket_sizes(T, n_stages)
+              if s > 1 + prompt_len] or [T]
 
     def decode(variables, xa, prompt):
         xa_enc = model.apply(variables, xa, method=Model.encode)
@@ -230,7 +249,8 @@ def greedy_decode_prompted(model: Model, variables, prompt: jnp.ndarray,
     p = int(prompt.shape[-1])
     fn = _build_prompted_decode_fn(model, p, int(max_new_tokens),
                                    bool(suppress_eos),
-                                   active_seq_sharding())
+                                   active_seq_sharding(),
+                                   _decode_stages())
     return fn(variables, xa, prompt.astype(jnp.int32))
 
 
