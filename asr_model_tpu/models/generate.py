@@ -37,17 +37,20 @@ from asr_model_tpu.models.model import Model, modality_slots
 
 
 def _decode_stages() -> int:
-    """Prefix-bucket stage count (GRAFT_DECODE_STAGES, default 4).
+    """Prefix-bucket stage count (GRAFT_DECODE_STAGES, default 8).
 
-    The per-step cost model (docs/BENCH_NOTES.md: 402.9x full-width ->
-    572.3x at 4 stages) implies ~linear width scaling over a ~28%
-    fixed serial floor; more stages shrink average width further at
-    the price of one more compiled loop body each."""
+    Measured on the v5e headline (B=8, 64-token budget, bf16,
+    docs/BENCH_NOTES.md): full-width 402.9x, 4 stages 576.1x, 8 stages
+    612.3x — per-step cost is ~linear in bucket width over a ~28%
+    fixed serial floor, so halving the stage pitch buys +6.3%.  16
+    stages is predicted +~3% more but doubles the decode's compiled
+    loop bodies (remote compiles dominate bench wall time), so 8 is
+    the default."""
     import os
     try:
-        return max(1, int(os.environ.get("GRAFT_DECODE_STAGES", "4")))
+        return max(1, int(os.environ.get("GRAFT_DECODE_STAGES", "8")))
     except ValueError:
-        return 4
+        return 8
 
 
 def _bucket_sizes(T: int, n_stages: Optional[int] = None):
