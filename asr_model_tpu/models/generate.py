@@ -27,6 +27,7 @@ earlier positions.  What IS cacheable and fixed here:
 from __future__ import annotations
 
 import functools
+import os
 from typing import Dict, Optional
 
 import jax
@@ -46,14 +47,13 @@ def _decode_stages() -> int:
     stages is predicted +~3% more but doubles the decode's compiled
     loop bodies (remote compiles dominate bench wall time), so 8 is
     the default."""
-    import os
     try:
         return max(1, int(os.environ.get("GRAFT_DECODE_STAGES", "8")))
     except ValueError:
         return 8
 
 
-def _bucket_sizes(T: int, n_stages: Optional[int] = None):
+def _bucket_sizes(T: int, n_stages: int):
     """Prefix-bucket buffer widths for a 1+max_new_tokens decode.
 
     The parity model's buffer decode recomputes the whole buffer per
@@ -65,8 +65,6 @@ def _bucket_sizes(T: int, n_stages: Optional[int] = None):
     length-dependent op (attention, MSheath pooling, router inputs,
     position slicing) already consumes the validity mask, and
     positions are absolute — tested token-exact (tests/test_model.py)."""
-    if n_stages is None:
-        n_stages = _decode_stages()
     if T <= 24 or n_stages <= 1:
         return [T]
     sizes = sorted({min(T, 1 + ((T - 1) * k + n_stages - 1)
@@ -76,14 +74,15 @@ def _bucket_sizes(T: int, n_stages: Optional[int] = None):
 
 @functools.lru_cache(maxsize=32)
 def _build_decode_fn(model: Model, max_new_tokens: int,
-                     suppress_eos: bool, sp_ctx=None, n_stages=None):
+                     suppress_eos: bool, sp_ctx, n_stages: int):
     """``sp_ctx`` is the active seq-sharding context (or None) — part
     of the cache key because the context is consulted at TRACE time by
     Attention: without it, a decode fn first traced inside a
     seq_sharding context would bake the SP routing into the cached
     non-SP entry (ADVICE r2).  ``n_stages`` keys the bucket schedule
     so a GRAFT_DECODE_STAGES change mid-process cannot serve a stale
-    compiled fn."""
+    compiled fn — it is REQUIRED (resolved from the env only in the
+    public greedy_decode* wrappers, never inside this cached body)."""
     del sp_ctx  # key-only; the traced body reads the live context
     T = 1 + max_new_tokens
     stages = _bucket_sizes(T, n_stages)
@@ -175,7 +174,7 @@ def greedy_decode(model: Model, variables, spectrogram=None, pitch=None,
 @functools.lru_cache(maxsize=32)
 def _build_prompted_decode_fn(model: Model, prompt_len: int,
                               max_new_tokens: int, suppress_eos: bool,
-                              sp_ctx=None, n_stages=None):
+                              sp_ctx, n_stages: int):
     del sp_ctx  # cache-key-only (see _build_decode_fn)
     T = 1 + prompt_len + max_new_tokens
     # prefix buckets (see _bucket_sizes) — only widths past the prompt

@@ -398,6 +398,92 @@ def _merge_base_blocks(base: Dict, blocks) -> Dict:
     return out
 
 
+def _merge_state_param_tree(base_tree, blocks_tree):
+    """Merge a base-params-shaped state tree with an (L, ...)-stacked
+    block-params-shaped state tree into the UNSHARDED params-shaped
+    tree (processor/block{i} subtrees restored by slicing the layer
+    axis) — the state-tree analogue of ``from_pipeline_params``."""
+    L = jax.tree.leaves(blocks_tree)[0].shape[0]
+    proc = dict(base_tree["processor"])
+    for i in range(L):
+        proc[f"block{i}"] = jax.tree.map(lambda a, i=i: a[i], blocks_tree)
+    out = dict(base_tree)
+    out["processor"] = proc
+    return out
+
+
+def _split_state_param_tree(tree):
+    """Inverse of ``_merge_state_param_tree``: (base_tree,
+    (L, ...)-stacked blocks_tree)."""
+    base, blocks, L = _split_blocks(tree)
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs),
+                           *[blocks[f"block{i}"] for i in range(L)])
+    return base, stacked
+
+
+def from_pipeline_opt_state(opt_state):
+    """Transform a ``make_pp_optimizer`` state ({'base', 'blocks'})
+    into the state ``make_optimizer(cfg, unsharded_params).init`` would
+    have evolved to — PRESERVING MaxFactor's row_var/col_var/v/step
+    statistics, so resuming single-device/DP training from a
+    final-after-PP checkpoint continues the optimizer trajectory
+    instead of silently restarting it (the reference never restores
+    optimizer state at all, SURVEY §5.4; this framework's resume
+    contract is stronger and must hold across topology moves).
+
+    Handles the optax.MultiSteps wrapper (acc_steps > 1): mini/gradient
+    step counters come from the base state (base and blocks step in
+    lockstep), accumulated grads merge like the variance trees."""
+    base, blocks = opt_state["base"], opt_state["blocks"]
+    return _convert_pp_state(base, blocks)
+
+
+def _convert_pp_state(base, blocks):
+    if hasattr(base, "inner_opt_state"):          # optax.MultiStepsState
+        return base._replace(
+            inner_opt_state=_convert_pp_state(base.inner_opt_state,
+                                              blocks.inner_opt_state),
+            acc_grads=_merge_state_param_tree(base.acc_grads,
+                                              blocks.acc_grads))
+    # MaxFactorState: step is a scalar in base, (L,) in the vmapped
+    # blocks state — all entries equal by construction (one update per
+    # train step), so base.step is THE step
+    return base._replace(
+        row_var=_merge_state_param_tree(base.row_var, blocks.row_var),
+        col_var=_merge_state_param_tree(base.col_var, blocks.col_var),
+        v=_merge_state_param_tree(base.v, blocks.v))
+
+
+def to_pipeline_opt_state(opt_state):
+    """Inverse of ``from_pipeline_opt_state``: lift an unsharded-layout
+    optimizer state into the {'base', 'blocks'} pipeline layout (resume
+    a PP run from a single-device/DP checkpoint without losing
+    MaxFactor statistics)."""
+    if hasattr(opt_state, "inner_opt_state"):
+        inner = to_pipeline_opt_state(opt_state.inner_opt_state)
+        acc_b, acc_bl = _split_state_param_tree(opt_state.acc_grads)
+        L = jax.tree.leaves(acc_bl)[0].shape[0]
+        return {
+            "base": opt_state._replace(
+                inner_opt_state=inner["base"], acc_grads=acc_b),
+            "blocks": opt_state._replace(
+                mini_step=jnp.broadcast_to(opt_state.mini_step, (L,)),
+                gradient_step=jnp.broadcast_to(opt_state.gradient_step,
+                                               (L,)),
+                inner_opt_state=inner["blocks"], acc_grads=acc_bl),
+        }
+    rv_b, rv_bl = _split_state_param_tree(opt_state.row_var)
+    cv_b, cv_bl = _split_state_param_tree(opt_state.col_var)
+    v_b, v_bl = _split_state_param_tree(opt_state.v)
+    L = jax.tree.leaves(rv_bl)[0].shape[0]
+    return {
+        "base": opt_state._replace(row_var=rv_b, col_var=cv_b, v=v_b),
+        "blocks": opt_state._replace(
+            step=jnp.broadcast_to(opt_state.step, (L,)),
+            row_var=rv_bl, col_var=cv_bl, v=v_bl),
+    }
+
+
 def make_pp_optimizer(cfg, pp_params):
     """MaxFactor over the PIPELINE param layout with EXACT per-block
     semantics (tested: test_pipeline.py optimizer-parity).

@@ -624,14 +624,14 @@ def train_and_evaluate(
         # returned variables and final_model.msgpack feed Transcriber /
         # single-device resume, whose targets are the unsharded tree.
         # Mid-run checkpoint_step_* files stay in the pipeline layout
-        # (same-topology resume keeps optimizer state); the final file
-        # carries a FRESH unsharded optimizer state — resuming from it
-        # restarts optimizer statistics (documented trade; use the
-        # step files to continue a PP run).
+        # (same-topology resume keeps optimizer state); the final
+        # file's optimizer state is TRANSFORMED to the unsharded layout
+        # (pp.from_pipeline_opt_state), so resume-from-final preserves
+        # MaxFactor's row/col/v/step statistics across the topology
+        # move (tested: test_pipeline.py resume-after-PP).
         params = unstack(params)
         if run.save_interval > 0:
-            tx_un, _ = make_optimizer(cfg, params)
-            opt_state = tx_un.init(params)
+            opt_state = jax.jit(pp.from_pipeline_opt_state)(opt_state)
     if run.save_interval > 0:
         ckpt.save_checkpoint(
             os.path.join(run.checkpoint_dir, "final_model.msgpack"),

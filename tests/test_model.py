@@ -272,7 +272,7 @@ def test_staged_bucket_decode_token_exact(setup):
     model, variables, batch, _ = setup
     kw = dict(spectrogram=batch["spectrogram"], pitch=batch["pitch"],
               waveform=batch["waveform"])
-    assert len(G._bucket_sizes(1 + 30)) > 1   # staged at this budget
+    assert len(G._bucket_sizes(1 + 30, G._decode_stages())) > 1  # staged
     staged = np.asarray(G.greedy_decode(model, variables,
                                         max_new_tokens=30,
                                         suppress_eos=True, **kw))

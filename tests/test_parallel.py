@@ -5,6 +5,8 @@ import numpy as np
 import pytest
 
 import jax
+
+pytestmark = pytest.mark.distributed
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -19,7 +21,7 @@ def test_virtual_devices_present():
 
 def test_make_mesh_shapes():
     mesh = make_mesh(data=4, model=2)
-    assert mesh.shape == {"data": 4, "model": 2, "seq": 1}
+    assert mesh.shape == {"data": 4, "model": 2, "seq": 1, "expert": 1}
     with pytest.raises(ValueError):
         make_mesh(data=16)
 

@@ -157,3 +157,308 @@ def test_converter_rejects_incomplete_state_dict(golden, transplanted):
     sd.pop("processor.position")
     with pytest.raises(KeyError):
         convert_state_dict(sd, variables["params"])
+
+
+GOLDEN_TRAJ = os.path.join(os.path.dirname(__file__), "golden",
+                           "reference_trajectory.npz")
+
+
+def test_train_trajectory_matches_reference():
+    """TRAIN-TRAJECTORY parity (VERDICT r4 missing #1): N reference
+    train steps — Model.forward -> backward -> MaxFactor.step (two-
+    group bias 1/2) -> FAMScheduler2.step, main()'s exact composition
+    at its live batch_size=1 — reproduced by the framework's jitted
+    train step from the transplanted init.  Asserts the per-step loss
+    trajectory and the final parameters.
+
+    Controlled variables match the golden generator
+    (tools/gen_golden_trajectory.py): gumbel in the noise-free argmax
+    limit (no 'gumbel' rng -> deterministic routing) and dropout=0.0.
+    Everything else — train-mode BatchNorm, straight-through
+    gumbel/STE backwards, weight-norm conv grads, the factored
+    optimizer and warmup schedule — runs live on both sides.
+
+    Tolerances: f32 end to end.  Per-step losses sit at the forward's
+    accumulation floor (~2e-4 rel) slightly amplified by parameter
+    drift (MaxFactor's sign(update) flips on near-zero elements under
+    f32 noise, moving those weights by the full row scale).  The final
+    parameter check is an AGGREGATE (per-tensor RMS of the difference
+    vs the per-step movement scale): elementwise comparison would only
+    re-measure those benign sign flips."""
+    import optax
+
+    from asr_model_tpu.train.loop import make_optimizer
+
+    g = np.load(GOLDEN_TRAJ)
+    dims = Dimensions(tokens=int(g["cfg_tokens"]), mels=int(g["cfg_mels"]),
+                      dims=int(g["cfg_dims"]), head=int(g["cfg_head"]),
+                      layer=int(g["cfg_layer"]))
+    model = Model(param=dims, cfg=ModelConfig(dims=dims, dropout=0.0))
+
+    def batch(i):
+        return {"spec": jnp.asarray(g[f"b{i}:spec"]),
+                "pitch": jnp.asarray(g[f"b{i}:pitch"]),
+                "wave": jnp.asarray(g[f"b{i}:wave"]),
+                "ids": jnp.asarray(g[f"b{i}:ids"], jnp.int32),
+                "labels": jnp.asarray(g[f"b{i}:labels"], jnp.int32)}
+
+    b0 = batch(0)
+    skeleton = jax.jit(lambda r: model.init(
+        {"params": r}, b0["ids"], spectrogram=b0["spec"],
+        pitch=b0["pitch"], waveform=b0["wave"]))(jax.random.key(0))
+    sd0 = {k[4:]: g[k] for k in g.files if k.startswith("sd0:")}
+    variables = convert_state_dict(sd0, skeleton["params"],
+                                   skeleton.get("batch_stats"))
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+
+    cfg = Config()      # defaults ARE main()'s values (config.py)
+    tx, _ = make_optimizer(cfg, params)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state, batch_stats, b):
+        def loss_fn(p):
+            out, mut = model.apply(
+                {"params": p, "batch_stats": batch_stats},
+                b["ids"], labels=b["labels"], spectrogram=b["spec"],
+                pitch=b["pitch"], waveform=b["wave"], train=True,
+                mutable=["batch_stats"])
+            return out["loss"], mut["batch_stats"]
+
+        (loss, new_bs), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        gnorm = jnp.sqrt(sum(jnp.sum(x ** 2)
+                             for x in jax.tree.leaves(grads)))
+        updates, new_opt = tx.update(grads, opt_state, params=params)
+        return (optax.apply_updates(params, updates), new_opt, new_bs,
+                loss, gnorm)
+
+    n = int(g["n_steps"])
+    losses, gnorms = [], []
+    for i in range(n):
+        params, opt_state, batch_stats, loss, gnorm = step(
+            params, opt_state, batch_stats, batch(i))
+        losses.append(float(loss))
+        gnorms.append(float(gnorm))
+
+    ref_losses = np.asarray(g["losses"])
+    # step-0 loss is the pure transplanted forward (no drift): tight
+    assert abs(losses[0] - ref_losses[0]) / ref_losses[0] < 5e-4, (
+        losses[0], ref_losses[0])
+    # full trajectory: the f32 rounding floor amplifies ~5.7x/step
+    # (measured) — MaxFactor's sign(update) flips near-zero elements,
+    # so two CORRECT f32 programs drift apart multiplicatively; the
+    # f64 test below pins the step math itself to ~1e-7.  8 steps of
+    # 5.7x from ~1e-7 stays under this bound with ~2x margin.
+    np.testing.assert_allclose(losses, ref_losses, rtol=3e-2,
+                               err_msg=f"ours={losses} ref={ref_losses}")
+    # NOTE: per-step grad norms are NOT compared here — they are
+    # hypersensitive to the same benign f32 routing flips (one flipped
+    # gumbel-argmax jump changes the backward path through the policy
+    # nets by 5-6x while the loss moves <1e-3); the f64 test below is
+    # the arbiter for backward-math parity.
+    assert all(np.isfinite(gnorms))
+
+    # final params, compared over LIVE-GRADIENT tensors only (the f64
+    # golden's step-0 grads classify them): zero-gradient tensors are
+    # pure noise walks — torch random-walks them at full alpha (its
+    # autograd leaves +-1e-18 residue that MaxFactor's inf-norm
+    # normalization blows up to O(1) signs) while XLA often produces
+    # EXACT zeros there (no movement), so including them measures the
+    # noise convention, not the optimizer.  On live tensors: after 8
+    # steps the f32 sign-flip chaos decorrelates fine structure, so
+    # the claims are (a) error stays at/below the movement scale and
+    # (b) the movement MAGNITUDE matches (a wrong lr/trust-ratio/decay
+    # would inflate it xN).  Exact-math parity is the f64 test's job.
+    sdN = {k[4:]: g[k] for k in g.files if k.startswith("sdN:")}
+    refN = convert_state_dict(sdN, skeleton["params"],
+                              skeleton.get("batch_stats"))
+    gsd = {k[4:]: g[k] for k in g.files if k.startswith("sd0:")}
+    for k in g.files:
+        if k.startswith("g64:"):
+            gsd[k[4:]] = g[k]
+    refg = convert_state_dict(gsd, skeleton["params"])
+    flat_g = {jax.tree_util.keystr(k): np.asarray(v, np.float64)
+              for k, v in
+              jax.tree_util.tree_leaves_with_path(refg["params"])}
+    gscale = max(float(np.abs(v).max()) for v in flat_g.values())
+    live = {k for k, v in flat_g.items()
+            if float(np.abs(v).max()) >= 1e-10 * gscale}
+    flat_ours = {jax.tree_util.keystr(k): np.asarray(v) for k, v in
+                 jax.tree_util.tree_leaves_with_path(params)}
+    flat_ref = {jax.tree_util.keystr(k): np.asarray(v) for k, v in
+                jax.tree_util.tree_leaves_with_path(refN["params"])}
+    flat_0 = {jax.tree_util.keystr(k): np.asarray(v) for k, v in
+              jax.tree_util.tree_leaves_with_path(variables["params"])}
+    assert flat_ours.keys() == flat_ref.keys()
+    assert len(live) > 100
+    worst = (None, 0.0)
+    for k in live:
+        err = float(np.sqrt(np.mean((flat_ours[k] - flat_ref[k]) ** 2)))
+        moved = float(np.sqrt(np.mean((flat_ref[k] - flat_0[k]) ** 2)))
+        rel = err / max(moved, 1e-12)
+        if rel > worst[1] and err > 1e-3:
+            worst = (k, rel)
+        assert rel < 3.0 or err < 1e-3, (k, err, moved)
+    # NOTE no lower bound on our movement: the noise convention acts
+    # at ROW granularity inside live tensors too (measured: jump.mkey
+    # — unused v_gate memory keys have mathematically-zero grad rows;
+    # torch random-walks them at full alpha because
+    # rsqrt(EMA(noise^2))*noise = +-1 per element, while XLA's exact
+    # zeros leave them still — ref RMS movement 0.20 vs ours 0.03 on
+    # that one tensor).  A wrong lr/trust-ratio scale is caught by the
+    # f64 test's step-1 envelope instead.
+    tot_err = np.sqrt(sum(
+        float(np.sum((flat_ours[k] - flat_ref[k]) ** 2)) for k in live))
+    tot_moved = np.sqrt(sum(
+        float(np.sum((flat_ref[k] - flat_0[k]) ** 2)) for k in live))
+    tot_moved_ours = np.sqrt(sum(
+        float(np.sum((flat_ours[k] - flat_0[k]) ** 2)) for k in live))
+    assert tot_err / tot_moved < 1.2, (tot_err, tot_moved, worst)
+    assert tot_moved_ours / tot_moved < 1.4, (tot_moved_ours, tot_moved)
+
+
+def test_train_trajectory_matches_reference_float64():
+    """Exact-math train-step parity: the same 8-step trajectory run in
+    float64 on both sides.  Three assertions, strongest first:
+
+    1. step-0 loss matches at f64 bit level (measured: exactly equal),
+       pinning the train-mode forward (BatchNorm batch statistics,
+       argmax routing, masked CE) to the last ulp;
+    2. step-0 GRADIENTS match per-tensor to <1e-5 relative (skipping
+       tensors whose reference gradient is numerically zero — see
+       below), pinning the whole backward: STE/gumbel straight-through
+       paths, weight-norm conv grads, BN train-mode backward.
+       Why not ~1e-12: the backward amplifies f64 roundoff by the
+       architecture's conditioning (grad-norm ~1.5e4 against loss
+       ~1.4e3; the AbbyNormal routers' pow/denominator backward is the
+       worst-conditioned path).  Measured spectrum: smooth 5e-9 floor
+       (loss-adjacent tensors) rising to 2.9e-6 (norm router kernels),
+       no outliers — a formula error would show as an O(1) or fixed-
+       factor jump on specific tensors, not a smooth conditioning
+       gradient;
+    3. the loss trajectory stays inside a measured divergence envelope.
+
+    Why an envelope and not ~1e-12 throughout: several reference
+    parameters have MATHEMATICALLY zero gradients (e.g. the depthwise
+    conv biases — a bias shift cancels in the following BatchNorm's
+    mean subtraction; the disconnected rot.lin / AdaptiveSpan tensors).
+    MaxFactor normalizes each update by its inf-norm, which blows
+    +-1e-18 autograd noise on those tensors up to O(1) signs, so both
+    frameworks inject +-alpha randomness there with uncorrelated signs
+    (verified by per-tensor delta diff: every divergent tensor at step
+    1 is in this zero-gradient class).  That seed (~1e-7 in loss)
+    then amplifies ~5.7x/step through the sign-based optimizer — an
+    intrinsic chaos floor of the reference's own design: the reference
+    run against a different BLAS would diverge from itself identically.
+    Additionally, torch skips None-grad (disconnected) params entirely
+    while this framework sees exact-zero grads and applies the
+    decoupled decay — a documented, benign O(lr*decay) divergence on
+    dead tensors."""
+    import optax
+
+    from asr_model_tpu.train.loop import make_optimizer
+
+    g = np.load(GOLDEN_TRAJ)
+    dims = Dimensions(tokens=int(g["cfg_tokens"]), mels=int(g["cfg_mels"]),
+                      dims=int(g["cfg_dims"]), head=int(g["cfg_head"]),
+                      layer=int(g["cfg_layer"]))
+    model = Model(param=dims, cfg=ModelConfig(dims=dims, dropout=0.0))
+
+    # build the skeleton and transplant in f32 (the init values ARE
+    # f32 — the reference's f64 net is the same f32 init cast up),
+    # then cast the whole variables tree to f64
+    b0_32 = {"spec": jnp.asarray(g["b0:spec"]),
+             "pitch": jnp.asarray(g["b0:pitch"]),
+             "wave": jnp.asarray(g["b0:wave"]),
+             "ids": jnp.asarray(g["b0:ids"], jnp.int32)}
+    skeleton = jax.jit(lambda r: model.init(
+        {"params": r}, b0_32["ids"], spectrogram=b0_32["spec"],
+        pitch=b0_32["pitch"], waveform=b0_32["wave"]))(jax.random.key(0))
+    sd0 = {k[4:]: g[k] for k in g.files if k.startswith("sd0:")}
+    variables32 = convert_state_dict(sd0, skeleton["params"],
+                                     skeleton.get("batch_stats"))
+
+    with jax.enable_x64(True):
+        def batch(i):
+            return {"spec": jnp.asarray(g[f"b{i}:spec"], jnp.float64),
+                    "pitch": jnp.asarray(g[f"b{i}:pitch"], jnp.float64),
+                    "wave": jnp.asarray(g[f"b{i}:wave"], jnp.float64),
+                    "ids": jnp.asarray(g[f"b{i}:ids"], jnp.int32),
+                    "labels": jnp.asarray(g[f"b{i}:labels"], jnp.int32)}
+
+        variables = jax.tree.map(
+            lambda x: jnp.asarray(
+                x, jnp.float64 if np.asarray(x).dtype == np.float32
+                else None), variables32)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+
+        cfg = Config()
+        tx, _ = make_optimizer(cfg, params)
+        opt_state = tx.init(params)
+        # MaxFactor's factored state must track params in f64 here
+        opt_state = jax.tree.map(
+            lambda x: x.astype(jnp.float64)
+            if x.dtype == jnp.float32 else x, opt_state)
+
+        @jax.jit
+        def step(params, opt_state, batch_stats, b):
+            def loss_fn(p):
+                out, mut = model.apply(
+                    {"params": p, "batch_stats": batch_stats},
+                    b["ids"], labels=b["labels"], spectrogram=b["spec"],
+                    pitch=b["pitch"], waveform=b["wave"], train=True,
+                    mutable=["batch_stats"])
+                return out["loss"], mut["batch_stats"]
+
+            (loss, new_bs), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+            updates, new_opt = tx.update(grads, opt_state, params=params)
+            return (optax.apply_updates(params, updates), new_opt,
+                    new_bs, loss, grads)
+
+        losses, g0 = [], None
+        for i in range(int(g["n_steps"])):
+            params, opt_state, batch_stats, loss, grads = step(
+                params, opt_state, batch_stats, batch(i))
+            losses.append(float(loss))
+            if i == 0:
+                g0 = jax.device_get(grads)
+
+    ref = np.asarray(g["losses64"])
+    # 1. step-0 loss: f64 bit level
+    assert abs(losses[0] - ref[0]) / ref[0] < 1e-12, (losses[0], ref[0])
+    # 2. step-0 gradients, converted through the importer layout
+    #    (missing buffer keys filled from sd0 so the converter's
+    #    completeness check passes; buffers have no grads)
+    gsd = {k[4:]: g[k] for k in g.files if k.startswith("sd0:")}
+    for k in g.files:
+        if k.startswith("g64:"):
+            gsd[k[4:]] = g[k]
+    with jax.enable_x64(True):
+        refg = convert_state_dict(gsd, jax.tree.map(
+            lambda x: jnp.asarray(
+                x, jnp.float64 if np.asarray(x).dtype == np.float32
+                else None), skeleton["params"]))
+    flat_rg = {jax.tree_util.keystr(k): np.asarray(v, np.float64)
+               for k, v in
+               jax.tree_util.tree_leaves_with_path(refg["params"])}
+    flat_og = {jax.tree_util.keystr(k): np.asarray(v) for k, v in
+               jax.tree_util.tree_leaves_with_path(g0)}
+    gscale = max(float(np.abs(v).max()) for v in flat_rg.values())
+    checked = 0
+    for k in flat_rg:
+        rmax = float(np.abs(flat_rg[k]).max())
+        if rmax < 1e-10 * gscale:
+            continue        # numerically-zero-grad class (docstring)
+        err = float(np.abs(flat_og[k] - flat_rg[k]).max())
+        assert err / rmax < 1e-5, (k, err, rmax)
+        checked += 1
+    assert checked > 100    # the skip-list must stay a small minority
+    # 3. trajectory inside the measured chaos envelope (~5.7x/step
+    #    from a ~1e-7 zero-grad-noise seed; ~5x margin per step)
+    env = [1e-12, 2e-6, 2e-4, 2e-3] + [5e-2] * (len(ref) - 4)
+    for i, (a, b) in enumerate(zip(losses, ref)):
+        assert abs(a - b) / b < env[i], (i, a, b, losses, ref)
