@@ -55,19 +55,27 @@ def chunk_audio(audio: np.ndarray, sample_rate: int = 16000,
 
 
 def _frontend(audio: jnp.ndarray, sample_rate: int, hop: int, mels: int,
-              dtype=jnp.float32, yin_pitch: bool = True):
+              dtype=jnp.float32, pitch_mode: Optional[str] = "yin"):
     """Feature frontend for one chunk; ``dtype`` must match the
     variables' parameter dtype (bf16 inference mode casts params, so
     features follow — mixed conv input/kernel dtypes are an error).
-    ``yin_pitch=False`` skips the on-device F0 (the caller supplies
-    host DIO pitch instead, matching the train-time estimator)."""
+    ``pitch_mode``: "yin" or "dio" run the F0 estimator ON DEVICE
+    inside this jitted program (ops/pitch.yin_f0 / ops/dio.
+    dio_pitch_track — the latter is the reference's DIO+StoneMask pair,
+    parity-tested <0.1 Hz MAE vs the native host implementation);
+    None skips pitch (the caller supplies a host track instead)."""
     mel = log_mel_spectrogram(audio, sample_rate, 1024, hop, mels)
     wave = frame_rate_waveform(audio, sample_rate, hop)
     T = mel.shape[-1]
-    if not yin_pitch:
+    if pitch_mode is None:
         return mel[None].astype(dtype), None, wave[None].astype(dtype)
-    f0, _ = yin_f0(audio, fs=sample_rate,
-                   frame_period=hop / sample_rate * 1000.0)
+    if pitch_mode == "dio":
+        from asr_model_tpu.ops.dio import dio_pitch_track
+        f0, _ = dio_pitch_track(audio, sample_rate,
+                                frame_period=hop / sample_rate * 1000.0)
+    else:
+        f0, _ = yin_f0(audio, fs=sample_rate,
+                       frame_period=hop / sample_rate * 1000.0)
     f0 = jnp.pad(f0[None, :], ((0, 0), (0, max(T - f0.shape[-1], 0))))
     return (mel[None].astype(dtype), f0[None, :, :T].astype(dtype),
             wave[None].astype(dtype))
@@ -79,13 +87,13 @@ def _param_dtype(variables):
 
 @functools.lru_cache(maxsize=8)
 def _jit_frontend(sample_rate: int, hop: int, mels: int,
-                  dtype_name: str, yin_pitch: bool = True):
-    """One jitted frontend per (sr, hop, mels, dtype) — a fresh
-    ``jax.jit(lambda ...)`` per transcribe call would miss jax's C++
-    fast path and re-trace on every call."""
+                  dtype_name: str, pitch_mode: Optional[str] = "yin"):
+    """One jitted frontend per (sr, hop, mels, dtype, pitch mode) — a
+    fresh ``jax.jit(lambda ...)`` per transcribe call would miss jax's
+    C++ fast path and re-trace on every call."""
     dtype = jnp.dtype(dtype_name)
     return jax.jit(
-        lambda a: _frontend(a, sample_rate, hop, mels, dtype, yin_pitch))
+        lambda a: _frontend(a, sample_rate, hop, mels, dtype, pitch_mode))
 
 
 def _host_pitch(chunk: np.ndarray, sample_rate: int, hop: int, T: int,
@@ -109,22 +117,28 @@ def transcribe_long(model: Model, variables, audio: np.ndarray,
                     pitch_estimator: str = "dio"):
     """Transcribe arbitrarily long audio.  Returns (ids, text?).
 
-    ``pitch_estimator``: "dio" (host native DIO+StoneMask, matching
-    the train-time features) or "yin" (fully on-device frontend)."""
+    ``pitch_estimator``: "dio" (ON-DEVICE DIO+StoneMask, ops/dio.py —
+    the reference's estimator pair computed inside the frontend jit;
+    <0.1 Hz MAE vs the native host track, tests/test_pitch.py),
+    "dio_host" (host native C++ — the round-4 default, kept for exact
+    train-feature byte parity; ~0.6-2 s of host work per 30 s chunk on
+    a 1-core box, overlapped but still the serial floor), or "yin"
+    (on-device YIN)."""
     mels = model.param.mels
     chunks = chunk_audio(audio, sample_rate, chunk_sec, overlap_sec)
-    yin = pitch_estimator == "yin"
-    frontend = _jit_frontend(sample_rate, hop, mels,
-                             str(_param_dtype(variables)),
-                             yin_pitch=use_pitch and yin)
+    host_pitch = pitch_estimator == "dio_host"
+    frontend = _jit_frontend(
+        sample_rate, hop, mels, str(_param_dtype(variables)),
+        pitch_mode=None if (host_pitch or not use_pitch)
+        else pitch_estimator)
 
-    # host-DIO prefetch: pitch depends only on the audio, not on the
-    # decode, so a worker thread computes every chunk's F0 track while
-    # the device decodes earlier chunks (native DIO releases the GIL
-    # for the ctypes call; ~0.6 s per 30 s chunk on a 1-core host —
-    # serial it dominates the steady-state long-form time)
+    # host-DIO prefetch ("dio_host"): pitch depends only on the audio,
+    # not on the decode, so a worker thread computes every chunk's F0
+    # track while the device decodes earlier chunks (native DIO
+    # releases the GIL for the ctypes call; ~0.6 s per 30 s chunk on a
+    # 1-core host — serial it dominates the steady-state long-form time)
     pitch_futs = None
-    if use_pitch and not yin:
+    if use_pitch and host_pitch:
         from concurrent.futures import ThreadPoolExecutor
 
         def dio(c):
@@ -183,13 +197,14 @@ def transcribe_long_sp(model: Model, variables, audio: np.ndarray,
 
     mels = model.param.mels
     n = mesh.shape[axis]
-    yin = pitch_estimator == "yin"
-    frontend = _jit_frontend(sample_rate, hop, mels,
-                             str(_param_dtype(variables)),
-                             yin_pitch=use_pitch and yin)
+    host_pitch = pitch_estimator == "dio_host"
+    frontend = _jit_frontend(
+        sample_rate, hop, mels, str(_param_dtype(variables)),
+        pitch_mode=None if (host_pitch or not use_pitch)
+        else pitch_estimator)
     audio_np = np.asarray(audio, np.float32)
     mel, pitch, wave = frontend(jnp.asarray(audio_np))
-    if use_pitch and not yin:
+    if use_pitch and host_pitch:
         pitch = _host_pitch(audio_np, sample_rate, hop, mel.shape[-1],
                             mel.dtype)
 

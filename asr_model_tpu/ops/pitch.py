@@ -210,7 +210,9 @@ def pitch_track(audio, sample_rate: int = 16000, hop_length: int = 160,
         f0, _t = yin_f0(jnp.asarray(audio, jnp.float32), fs=sample_rate,
                         frame_period=frame_period)
         return np.asarray(f0, dtype=np.float32)[None, :]
-    if estimator != "dio":
+    # "dio_host" is an explicit alias for the native host path (the
+    # serving surfaces use "dio" for the jittable ops/dio.py estimator)
+    if estimator not in ("dio", "dio_host"):
         raise ValueError(f"unknown pitch estimator {estimator!r}")
     f0, t = dio(audio, sample_rate, frame_period)
     f0 = stonemask(audio, f0, t, sample_rate)

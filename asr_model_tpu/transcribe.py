@@ -44,9 +44,12 @@ class Transcriber:
 
         ``pitch_estimator`` must match the training features'
         ``DataConfig.pitch_estimator`` (from_checkpoint wires it
-        automatically): "dio" computes F0 on the host with the native
-        DIO+StoneMask exactly like data/features.py; "yin" keeps the
-        frontend fully on-device."""
+        automatically): "dio" computes DIO+StoneMask ON DEVICE inside
+        the jitted frontend (ops/dio.py — <0.1 Hz MAE vs the native
+        host track, tests/test_pitch.py); "dio_host" runs the native
+        C++ exactly like data/features.py (byte-parity with training
+        features, at ~0.6 s host time per 10 s of audio on a 1-core
+        box); "yin" is the on-device YIN estimator."""
         self.model = model
         self.variables = cast_variables(variables) if bf16 else variables
         self.dtype = jnp.bfloat16 if bf16 else jnp.float32
@@ -58,7 +61,7 @@ class Transcriber:
         self.max_new_tokens = max_new_tokens
         self.beam_size = int(beam_size)
         self.length_penalty = float(length_penalty)
-        if pitch_estimator not in ("dio", "yin"):
+        if pitch_estimator not in ("dio", "dio_host", "yin"):
             raise ValueError(f"unknown pitch estimator {pitch_estimator!r}")
         self.pitch_estimator = pitch_estimator
         self._frontend = jax.jit(self._features)
@@ -120,9 +123,16 @@ class Transcriber:
                                   self.hop, mels)[None]
         out = {"spectrogram": mel.astype(self.dtype)}
         T = mel.shape[-1]
-        if self.use_pitch and self.pitch_estimator == "yin":
-            f0, _ = yin_f0(audio, fs=self.sample_rate,
-                           frame_period=self.hop / self.sample_rate * 1000)
+        if self.use_pitch and self.pitch_estimator in ("yin", "dio"):
+            if self.pitch_estimator == "dio":
+                from asr_model_tpu.ops.dio import dio_pitch_track
+                f0, _ = dio_pitch_track(
+                    audio, self.sample_rate,
+                    frame_period=self.hop / self.sample_rate * 1000)
+            else:
+                f0, _ = yin_f0(
+                    audio, fs=self.sample_rate,
+                    frame_period=self.hop / self.sample_rate * 1000)
             f0 = jnp.pad(f0[None, None, :],
                          ((0, 0), (0, 0), (0, max(T - f0.shape[-1], 0))))
             out["pitch"] = f0[..., :T].astype(self.dtype)
@@ -132,9 +142,9 @@ class Transcriber:
         return out
 
     def _add_host_pitch(self, feats: dict, wav: np.ndarray) -> dict:
-        """DIO pitch runs on the host (native C++), exactly the
-        train-time path (features.py -> ops/pitch.pitch_track)."""
-        if not self.use_pitch or self.pitch_estimator != "dio":
+        """"dio_host": DIO pitch runs on the host (native C++), exactly
+        the train-time path (features.py -> ops/pitch.pitch_track)."""
+        if not self.use_pitch or self.pitch_estimator != "dio_host":
             return feats
         from asr_model_tpu.ops.pitch import pitch_track
         T = feats["spectrogram"].shape[-1]

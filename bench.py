@@ -58,12 +58,13 @@ def main():
                          "(greedy_decode_stream) instead of the parity "
                          "model's full-prefix buffer decode")
     ap.add_argument("--pitch-estimator", type=str, default="yin",
-                    choices=["yin", "dio"],
-                    help="yin = fully on-device frontend (headline); "
-                         "dio = host native DIO+StoneMask, the "
-                         "train-parity serving path (DataConfig."
-                         "pitch_estimator) — host pitch is timed "
-                         "inside the loop")
+                    choices=["yin", "dio", "dio_host"],
+                    help="yin = on-device YIN (headline); dio = "
+                         "ON-DEVICE DIO+StoneMask (ops/dio.py, the "
+                         "reference's estimator pair inside the "
+                         "frontend jit); dio_host = host native C++ "
+                         "DIO — host pitch timed inside the loop (the "
+                         "round-4 serial floor)")
     args = ap.parse_args()
 
     sr, hop = 16000, 160
@@ -90,12 +91,18 @@ def main():
     @jax.jit
     def frontend(audio):
         """All three live modalities, on device (extract_features parity:
-        essentials.py:451-510 — pitch via the jittable YIN estimator)."""
+        essentials.py:451-510 — pitch via the jittable YIN or DIO
+        estimator)."""
         mel = jax.vmap(lambda a: log_mel_spectrogram(a, sr, 1024, hop,
                                                      dims.mels))(audio)
         T = mel.shape[-1]
-        f0, _ = jax.vmap(lambda a: yin_f0(a, fs=sr,
-                                          frame_period=frame_period))(audio)
+        if args.pitch_estimator == "dio":
+            from asr_model_tpu.ops.dio import dio_pitch_track
+            f0, _ = jax.vmap(lambda a: dio_pitch_track(
+                a, sr, frame_period=frame_period))(audio)
+        else:
+            f0, _ = jax.vmap(lambda a: yin_f0(
+                a, fs=sr, frame_period=frame_period))(audio)
         f0 = f0[:, None, :]                          # (B, 1, Tp)
         pad = max(T - f0.shape[-1], 0)
         f0 = jnp.pad(f0, ((0, 0), (0, 0), (0, pad)))[..., :T]
@@ -114,7 +121,7 @@ def main():
 
     def host_pitch(audio_np, T):
         from asr_model_tpu.ops.pitch import pitch_track
-        f0 = np.stack([pitch_track(a, sr, hop, estimator="dio")[0]
+        f0 = np.stack([pitch_track(a, sr, hop, estimator="dio_host")[0]
                        for a in audio_np])[:, None, :]   # (B, 1, Tp)
         pad = max(T - f0.shape[-1], 0)
         return jnp.asarray(
@@ -125,7 +132,7 @@ def main():
 
     def transcribe(audio):
         mel, f0, wav = frontend(audio)
-        if args.pitch_estimator == "dio":
+        if args.pitch_estimator == "dio_host":
             f0 = host_pitch(audio_np, mel.shape[-1])
         return decode_fn(model, variables, spectrogram=mel,
                          pitch=f0, waveform=wav,
