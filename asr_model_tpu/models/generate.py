@@ -35,6 +35,7 @@ import jax.numpy as jnp
 
 from asr_model_tpu.config import BOS_ID, EOS_ID, PAD_ID
 from asr_model_tpu.models.model import Model, modality_slots
+from asr_model_tpu.utils import decode_tracing
 
 
 def _decode_stages() -> int:
@@ -132,12 +133,17 @@ def _build_decode_fn(model: Model, max_new_tokens: int,
             return step
 
         carry = (ids0, jnp.asarray(1, jnp.int32), jnp.zeros(batch, bool))
-        for s in stages:
-            # bucket s serves lengths < s (the step at length L reads
-            # positions 0..L-1 and writes position L <= s-1)
-            carry = jax.lax.while_loop(
-                lambda c, s=s: (c[1] < s) & ~jnp.all(c[2]),
-                make_step(s), carry)
+        # decode_tracing: the step bodies trace inside the context so
+        # size-gated Pallas kernels admit large-batch prefix buffers
+        # (utils.in_decode_tracing); the encode/precompute above stays
+        # OUTSIDE — encoder-length activations route to XLA.
+        with decode_tracing():
+            for s in stages:
+                # bucket s serves lengths < s (the step at length L
+                # reads positions 0..L-1 and writes position L <= s-1)
+                carry = jax.lax.while_loop(
+                    lambda c, s=s: (c[1] < s) & ~jnp.all(c[2]),
+                    make_step(s), carry)
         ids, _, _ = carry
         return ids
 
@@ -229,10 +235,11 @@ def _build_prompted_decode_fn(model: Model, prompt_len: int,
 
         carry = (ids0, jnp.asarray(1 + prompt_len, jnp.int32),
                  jnp.zeros(batch, bool))
-        for s in stages:
-            carry = jax.lax.while_loop(
-                lambda c, s=s: (c[1] < s) & ~jnp.all(c[2]),
-                make_step(s), carry)
+        with decode_tracing():          # see _build_decode_fn
+            for s in stages:
+                carry = jax.lax.while_loop(
+                    lambda c, s=s: (c[1] < s) & ~jnp.all(c[2]),
+                    make_step(s), carry)
         ids, _, _ = carry
         return ids
 

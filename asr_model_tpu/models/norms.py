@@ -137,9 +137,16 @@ class AbbyNormal(nn.Module):
         # the kernel — tests exercise the row-grid path through it) but
         # not d % 128: Mosaic's dynamic lane rotate (the sliding
         # windows) requires lane-aligned vectors — tiny configs fall
-        # back to XLA.
+        # back to XLA.  Decode-traced calls (utils.in_decode_tracing —
+        # the greedy-decode builders trace inside the context) are
+        # admitted at ANY size: a B=64 prefix buffer is 2.1M elements
+        # but still the dispatch-bound decode hot path, and the TN=256
+        # row grid bounds VMEM regardless of N (the r4 negative batch
+        # scaling came from this gate silently falling back at B=64).
+        from asr_model_tpu.utils import in_decode_tracing
         if rng is None and confidence is None and d % 128 == 0 \
-                and (x.size <= 400_000 or _PALLAS_ABBY == "on") \
+                and (x.size <= 400_000 or _PALLAS_ABBY == "on"
+                     or in_decode_tracing()) \
                 and _pallas_abby_enabled():
             from asr_model_tpu.ops.pallas.abby_kernel import fused_abby
 

@@ -13,7 +13,7 @@ warm-compiled end-to-end transcriber covering BASELINE configs #1
 from __future__ import annotations
 
 import os
-from typing import Optional, Union
+from typing import Optional, Sequence, Union
 
 import numpy as np
 
@@ -65,6 +65,7 @@ class Transcriber:
             raise ValueError(f"unknown pitch estimator {pitch_estimator!r}")
         self.pitch_estimator = pitch_estimator
         self._frontend = jax.jit(self._features)
+        self._batch_frontend = jax.jit(jax.vmap(self._features_row))
 
     @classmethod
     def from_checkpoint(cls, ckpt_path: str, tokenizer_path: str,
@@ -117,10 +118,13 @@ class Transcriber:
                            "batch_stats": restored["batch_stats"]},
                    tok, **kw)
 
-    def _features(self, audio: jnp.ndarray):
+    def _features_row(self, audio: jnp.ndarray):
+        """Features for ONE (L,) waveform, no batch dim: spectrogram
+        (mels, T), pitch/waveform (1, T).  vmapped by the batch
+        frontend; wrapped by the single-utterance one."""
         mels = self.model.param.mels
         mel = log_mel_spectrogram(audio, self.sample_rate, 1024,
-                                  self.hop, mels)[None]
+                                  self.hop, mels)
         out = {"spectrogram": mel.astype(self.dtype)}
         T = mel.shape[-1]
         if self.use_pitch and self.pitch_estimator in ("yin", "dio"):
@@ -133,13 +137,16 @@ class Transcriber:
                 f0, _ = yin_f0(
                     audio, fs=self.sample_rate,
                     frame_period=self.hop / self.sample_rate * 1000)
-            f0 = jnp.pad(f0[None, None, :],
-                         ((0, 0), (0, 0), (0, max(T - f0.shape[-1], 0))))
-            out["pitch"] = f0[..., :T].astype(self.dtype)
+            f0 = jnp.pad(f0[None, :],
+                         ((0, 0), (0, max(T - f0.shape[-1], 0))))
+            out["pitch"] = f0[:, :T].astype(self.dtype)
         if self.use_waveform:
             w = frame_rate_waveform(audio, self.sample_rate, self.hop)
-            out["waveform"] = w[None].astype(self.dtype)
+            out["waveform"] = w.astype(self.dtype)
         return out
+
+    def _features(self, audio: jnp.ndarray):
+        return jax.tree.map(lambda x: x[None], self._features_row(audio))
 
     def _add_host_pitch(self, feats: dict, wav: np.ndarray) -> dict:
         """"dio_host": DIO pitch runs on the host (native C++), exactly
@@ -197,6 +204,48 @@ class Transcriber:
                                 max_new_tokens=max_new_tokens
                                 or self.max_new_tokens)
         return self.tokenizer.decode(list(np.asarray(ids)[0]))
+
+    def transcribe_batch(self, audios: Sequence[Union[str, np.ndarray]],
+                         max_new_tokens: Optional[int] = None) -> list:
+        """Batch transcription — the max-throughput serving surface.
+        Waveforms are zero-padded to the batch max (the reference
+        attends over pad frames; parity-consistent), features run as
+        ONE vmapped jitted frontend program, and the decode is a single
+        batched program: streaming checkpoints take the O(1)-per-token
+        incremental decode (the framework's best throughput AND
+        real-WER path, docs/BENCH_NOTES.md), parity checkpoints the
+        prefix-bucket buffer decode."""
+        wavs = [self._load(a) for a in audios]
+        L = max(len(w) for w in wavs)
+        stacked = np.stack([np.pad(w, (0, L - len(w))) for w in wavs])
+        feats = self._batch_frontend(jnp.asarray(stacked))
+        if self.use_pitch and self.pitch_estimator == "dio_host":
+            T = feats["spectrogram"].shape[-1]
+            from asr_model_tpu.ops.pitch import pitch_track
+            f0 = np.stack([pitch_track(w if len(w) == L
+                                       else np.pad(w, (0, L - len(w))),
+                                       self.sample_rate, self.hop,
+                                       estimator="dio_host")
+                           for w in wavs])          # (B, 1, T0)
+            f0 = np.pad(f0, ((0, 0), (0, 0),
+                             (0, max(T - f0.shape[-1], 0))))[..., :T]
+            feats = dict(feats, pitch=jnp.asarray(f0, self.dtype))
+        mnt = max_new_tokens or self.max_new_tokens
+        if self.model.cfg.streaming and not self.model.cfg.chained_blocks:
+            from asr_model_tpu.models.generate import greedy_decode_stream
+            ids = greedy_decode_stream(self.model, self.variables,
+                                       spectrogram=feats.get("spectrogram"),
+                                       pitch=feats.get("pitch"),
+                                       waveform=feats.get("waveform"),
+                                       max_new_tokens=mnt)
+        else:
+            ids = greedy_decode(self.model, self.variables,
+                                spectrogram=feats.get("spectrogram"),
+                                pitch=feats.get("pitch"),
+                                waveform=feats.get("waveform"),
+                                max_new_tokens=mnt)
+        return [self.tokenizer.decode(list(row))
+                for row in np.asarray(ids)]
 
     def transcribe_long(self, audio: Union[str, np.ndarray],
                         chunk_sec: float = 30.0, **kw) -> str:

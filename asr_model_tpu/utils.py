@@ -67,3 +67,33 @@ def default_platform() -> str:
         except AttributeError:      # a string like "cpu"
             return str(dd)
     return jax.default_backend()
+
+
+# --------------------------------------------------------------------------
+# decode-tracing context: the greedy-decode builders (models/generate.py)
+# trace their step bodies inside this context, so shape-gated Pallas
+# kernels can tell "a decode prefix buffer at large batch" (row-tiled
+# kernel still wins — the decode loop is dispatch-bound) from "an
+# encoder-length activation" (XLA's fused tail wins, measured in round
+# 2: 402.9x -> 303.0x with encoder calls through the kernel).  Trace-
+# time only — like parallel/seq.py's seq-sharding context, the flag is
+# consulted while tracing and baked into the compiled program.
+
+import contextlib as _contextlib
+
+_DECODE_TRACING = False
+
+
+def in_decode_tracing() -> bool:
+    return _DECODE_TRACING
+
+
+@_contextlib.contextmanager
+def decode_tracing():
+    global _DECODE_TRACING
+    prev = _DECODE_TRACING
+    _DECODE_TRACING = True
+    try:
+        yield
+    finally:
+        _DECODE_TRACING = prev
