@@ -43,6 +43,10 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--write-doc", action="store_true",
                     help="append the results to docs/GENERALIZATION.md")
+    ap.add_argument("--save-checkpoint", type=str, default="",
+                    help="directory to write final_model.msgpack + "
+                         "config.json (Transcriber.from_checkpoint-"
+                         "loadable)")
     args = ap.parse_args()
 
     import jax
@@ -169,6 +173,23 @@ def main():
     train_wer = free_running_wer(train_items[:args.n_eval],
                                  "train-subset")
     heldout_wer = free_running_wer(eval_items, "HELD-OUT")
+
+    if args.save_checkpoint:
+        from asr_model_tpu.train import checkpoint as ckpt
+        os.makedirs(args.save_checkpoint, exist_ok=True)
+        dcfg = cfg.data
+        import dataclasses as _dc
+        dcfg = _dc.replace(dcfg, pitch=False, waveform=False,
+                           mels=args.mels)
+        save_cfg = _dc.replace(cfg, data=dcfg)
+        ckpt.save_checkpoint(
+            os.path.join(args.save_checkpoint, "final_model.msgpack"),
+            {"params": params, "opt_state": opt_state,
+             "batch_stats": bs_stats, "step": args.steps})
+        with open(os.path.join(args.save_checkpoint,
+                               "config.json"), "w") as f:
+            f.write(save_cfg.to_json())
+        print(f"checkpoint written to {args.save_checkpoint}")
 
     summary = (
         f"steps={args.steps} dims={args.dims} head={args.head} "
