@@ -158,20 +158,10 @@ class AudioEncoder(nn.Module):
         if self.enc:
             self.encoder_layer = TransformerEncoderLayer(self.dims, self.head)
 
-    def _process_feature(self, x: jnp.ndarray, train: bool = False,
-                         rng=None, pe: bool = True,
-                         valid=None, pe_override=None) -> jnp.ndarray:
-        """``pe=False`` skips the sinusoidal position add and ``valid``
-        ((B, T) bool) re-zeroes out-of-bounds time rows before every
-        padded conv — both used by the sequence-parallel encoder
-        (parallel/seq.py:sp_encode), which processes halo-extended time
-        shards.  ``pe_override`` (rows, dims) supplies globally-offset
-        positions to add in place of the standard sinusoids — INSIDE
-        this function, so the optional ``out_norm`` (norm=True,
-        model.py:161-162) still runs after the position add exactly as
-        in the unsharded path (ADVICE r2).  With ``valid`` all-True
-        (or None) and no override the math is unchanged."""
-        act = get_activation(self.act)
+    def _stem(self, x: jnp.ndarray, train: bool = False,
+              valid=None) -> jnp.ndarray:
+        """Input stem: (B, C, T) -> (B, T, dims) via the multi- or
+        mono-channel conv (+ optional input norm)."""
         if x.ndim == 2:
             x = x[None]
 
@@ -190,6 +180,20 @@ class AudioEncoder(nn.Module):
             x = self.stem_mono(x)
             if self.norm:
                 x = self.local_norm(x)
+        return x
+
+    def _stack(self, x: jnp.ndarray, train: bool = False, pe: bool = True,
+               valid=None, pe_override=None) -> jnp.ndarray:
+        """The deep conv stack over stem outputs (B, T, dims) — every
+        op is row-local at eval, so multiple modality slots batch into
+        one pass (``__call__``)."""
+        act = get_activation(self.act)
+
+        def mask(t):
+            if valid is None:
+                return t
+            return t * valid[..., None].astype(t.dtype)
+
         for blk in self.blocks:
             x = act(x)
             x = mask(x)                      # before the padded wn k3
@@ -212,6 +216,23 @@ class AudioEncoder(nn.Module):
             x = self.encoder_layer(x, train=train)
         return x
 
+    def _process_feature(self, x: jnp.ndarray, train: bool = False,
+                         rng=None, pe: bool = True,
+                         valid=None, pe_override=None) -> jnp.ndarray:
+        """``pe=False`` skips the sinusoidal position add and ``valid``
+        ((B, T) bool) re-zeroes out-of-bounds time rows before every
+        padded conv — both used by the sequence-parallel encoder
+        (parallel/seq.py:sp_encode), which processes halo-extended time
+        shards.  ``pe_override`` (rows, dims) supplies globally-offset
+        positions to add in place of the standard sinusoids — INSIDE
+        this function, so the optional ``out_norm`` (norm=True,
+        model.py:161-162) still runs after the position add exactly as
+        in the unsharded path (ADVICE r2).  With ``valid`` all-True
+        (or None) and no override the math is unchanged."""
+        return self._stack(self._stem(x, train=train, valid=valid),
+                           train=train, pe=pe, valid=valid,
+                           pe_override=pe_override)
+
     def __call__(self, x, train: bool = False):
         if not isinstance(x, dict):
             return self._process_feature(x, train=train)
@@ -229,28 +250,34 @@ class AudioEncoder(nn.Module):
 
         # eval/decode: (1) identical slot tensors (single-modality runs
         # put the same array in a/b/c, model.py:656-662) encode ONCE;
-        # (2) same-shaped mono tracks (pitch/waveform) batch-stack into
-        # one encoder call.  Both are exact at eval (no BN batch stats,
-        # no dropout).
+        # (2) stems run per unique tensor, then ALL stem outputs with
+        # the same time length batch-concatenate into ONE deep-stack
+        # pass — the stack is (B, T, dims) regardless of input channel
+        # count, and every op in it is row-local at eval (BN running
+        # stats, no dropout), so this is numerics-exact.  Measured
+        # motivation (docs/MFU.md): encode+precompute runs at 9% MFU —
+        # three sequential slot passes underfill the chip; one 3B-row
+        # pass cuts the dispatch count and widens every matmul.
         uniq: dict = {}
         for k in keys:
             uniq.setdefault(id(x[k]), []).append(k)
         groups = list(uniq.values())
 
-        by_shape: dict = {}
+        by_t: dict = {}
         for g in groups:
-            by_shape.setdefault(x[g[0]].shape, []).append(g)
+            t = x[g[0]]
+            t = t if t.ndim == 3 else t[None]
+            by_t.setdefault(t.shape[-1], []).append((g, t))
 
-        for shape, gs in by_shape.items():
-            if len(gs) > 1:
-                stacked = jnp.concatenate([x[g[0]] for g in gs], axis=0)
-                enc = self._process_feature(stacked, train=False)
-                B = shape[0]
-                for i, g in enumerate(gs):
-                    for k in g:
-                        out[k] = enc[i * B:(i + 1) * B]
-            else:
-                enc = self._process_feature(x[gs[0][0]], train=False)
-                for k in gs[0]:
-                    out[k] = enc
+        for _t, gs in by_t.items():
+            stems = [self._stem(t, train=False) for _g, t in gs]
+            sizes = [s.shape[0] for s in stems]
+            enc_all = self._stack(jnp.concatenate(stems, axis=0),
+                                  train=False)
+            ofs = 0
+            for (g, _t2), s in zip(gs, sizes):
+                e = enc_all[ofs:ofs + s]
+                ofs += s
+                for k in g:
+                    out[k] = e
         return out

@@ -217,10 +217,40 @@ def encode_xa(blk: "Residual", xa: Dict[str, jnp.ndarray], pt=None,
     """The per-block modality re-encodings i(xa[k]) (model.py:619-621),
     as a standalone function of a bound ``Residual`` so the pipeline-
     parallel schedule (parallel/pipeline.py) runs the exact same flow
-    as ``Processor._encode_xa``."""
+    as ``Processor._encode_xa``.
+
+    At EVAL (no gumbel rng), distinct same-shaped slots run as ONE
+    ``jax.vmap`` over a stacked slot axis instead of three sequential
+    block passes: every batch-pooled statistic (MSheath's jump-control
+    means) reduces over the mapped-in batch axis, i.e. PER SLOT —
+    numerics-exact vs the loop (tested) — while XLA batches the three
+    slots' matmuls/attentions into single wider contractions.
+    Measured motivation (docs/MFU.md): encode+precompute is the
+    largest single block of decode wall time at 6.6-9.2% MFU.
+    Identical slot tensors (single-modality runs) encode once either
+    way.  No Pallas kernel engages at encoder sizes, so the vmap
+    needs no pallas batching rules."""
     masks = masks or {}
-    return {k: blk(xa[k], pt=pt, x_valid=masks.get(k))
-            for k in ("a", "b", "c") if xa.get(k) is not None}
+    keys = [k for k in ("a", "b", "c") if xa.get(k) is not None]
+    try:
+        eval_mode = not (blk.is_initializing() or blk.has_rng("gumbel"))
+    except Exception:                                # unbound module
+        eval_mode = False
+    uniq: Dict[int, list] = {}
+    for k in keys:
+        uniq.setdefault(id(xa[k]), []).append(k)
+    groups = list(uniq.values())
+    same_shape = len({xa[g[0]].shape for g in groups}) == 1
+    no_masks = all(masks.get(k) is None for k in keys)
+    if eval_mode and no_masks and len(groups) > 1 and same_shape:
+        stacked = jnp.stack([xa[g[0]] for g in groups])
+        enc = jax.vmap(lambda t: blk(t, pt=pt))(stacked)
+        out = {}
+        for i, g in enumerate(groups):
+            for k in g:
+                out[k] = enc[i]
+        return out
+    return {k: blk(xa[k], pt=pt, x_valid=masks.get(k)) for k in keys}
 
 
 def run_block(blk: "Residual", x, xa_enc, *, streaming: bool,

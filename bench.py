@@ -112,11 +112,13 @@ def main():
 
     mel, f0, wav = jax.tree.map(np.asarray, frontend(audio))  # compile+sync
 
-    variables = model.init({"params": jax.random.key(0)},
-                           jnp.ones((batch, 4), jnp.int32),
-                           spectrogram=jnp.asarray(mel),
-                           pitch=jnp.asarray(f0),
-                           waveform=jnp.asarray(wav))
+    # jitted init: one remote program instead of thousands of eager
+    # per-op tunnel dispatches (flaky through the axon HTTP tunnel)
+    variables = jax.jit(lambda r, m, p, w: model.init(
+        {"params": r}, jnp.ones((batch, 4), jnp.int32),
+        spectrogram=m, pitch=p, waveform=w))(
+            jax.random.key(0), jnp.asarray(mel), jnp.asarray(f0),
+            jnp.asarray(wav))
     variables = cast_variables(variables)  # bf16 inference mode
 
     def host_pitch(audio_np, T):

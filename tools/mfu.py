@@ -34,11 +34,13 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import sys
 import time
 
 import numpy as np
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
 PEAK_FLOPS = {"bf16": 197e12, "f32": 49e12}   # TPU v5e per chip
 PEAK_HBM = 819e9                              # bytes/s
