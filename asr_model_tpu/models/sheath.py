@@ -284,8 +284,19 @@ class MSheath(nn.Module):
         # decode buffer); encoder-length calls (the once-per-utterance
         # cross-KV precompute, N ~ batch*1000 frames) stay on XLA —
         # they are matmul-shaped and not dispatch-bound.
+        # size bound: the kernel holds two (N, D) f32 temps (x carry +
+        # the v_gate MLP hidden) plus ~4 MB of weights in ~16 MB VMEM.
+        # 400k elements is the measured general bound; decode-traced
+        # calls (utils.in_decode_tracing) extend to 1M elements (8 MB
+        # of temps) so B=64's small/medium prefix buckets keep the
+        # kernel — at B=64 the widest buckets (N*D > 1M) still fall
+        # back, which is the remaining per-row gap vs B=8
+        # (docs/BENCH_NOTES.md round 5).
+        from asr_model_tpu.utils import in_decode_tracing
+        size_ok = x.size <= 400_000 or (in_decode_tracing()
+                                        and x.size <= 1_000_000)
         if keys is None and not streaming and not self.mini_hc \
-                and d % 128 == 0 and x.size <= 400_000 \
+                and d % 128 == 0 and size_ok \
                 and not _BATCH_PMEAN and _pallas_sheath_enabled():
             x, jstat, actions = self._fused_scan(x, valid, policy_mean)
         else:

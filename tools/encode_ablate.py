@@ -1,7 +1,9 @@
 """Ablate the encode + cross-KV precompute wall time (docs/MFU.md
 found it to be ~45% of decode wall at 6.6-9.2% MFU at both B=8 and
 B=64).  Times each stage and sub-piece as its own jitted program on
-the real chip, so the 537 ms (B=64) attributes to components.
+the real chip, so the 537 ms (B=64) attributes to components.  Every
+timed program returns a scalar checksum (fetching real outputs
+through the ~3 MB/s axon tunnel would dominate the timing).
 
 Run: python tools/encode_ablate.py [--batch 64]
 """
@@ -17,19 +19,14 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def timeit(fn, args, n=10, fetch=None):
-    import jax
-
-    def sync(out):
-        leaf = out if fetch is None else fetch(out)
-        np.asarray(jax.tree.leaves(leaf)[0])
-
-    sync(fn(*args))                      # compile + sync
+def timeit(fn, args, n=10):
+    """``fn`` must be a jitted program returning a SCALAR checksum."""
+    np.asarray(fn(*args))                # compile + sync
     start = time.perf_counter()
     out = None
     for _ in range(n):
         out = fn(*args)
-    sync(out)
+    np.asarray(out)
     return (time.perf_counter() - start) / n
 
 
@@ -40,6 +37,10 @@ def main():
     from asr_model_tpu.config import Dimensions, ModelConfig
     from asr_model_tpu.models.model import Model, cast_variables, \
         modality_slots
+
+    def chk(tree):
+        return sum(jnp.sum(x.astype(jnp.float32))
+                   for x in jax.tree.leaves(tree))
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=64)
@@ -63,32 +64,30 @@ def main():
     xa = modality_slots(pitch=f0, spectrogram=mel, waveform=wav)
 
     def report(name, sec):
-        print(f"{name:44s} {sec * 1e3:9.2f} ms")
+        print(f"{name:44s} {sec * 1e3:9.2f} ms", flush=True)
 
     # stage 1: AudioEncoder
-    enc = jax.jit(lambda v, xa: model.apply(v, xa, method=Model.encode))
-    t_enc = timeit(enc, (variables, xa),
-                   fetch=lambda o: jax.tree.leaves(o)[0])
-    report("AudioEncoder (3 slots)", t_enc)
-    xa_enc = jax.tree.map(jnp.asarray, enc(variables, xa))
+    enc_f = jax.jit(lambda v, xa: model.apply(v, xa, method=Model.encode))
+    report("AudioEncoder (3 slots)", timeit(
+        jax.jit(lambda v, xa: chk(model.apply(
+            v, xa, method=Model.encode))), (variables, xa)))
+    xa_enc = jax.tree.map(jnp.asarray, enc_f(variables, xa))
 
-    # encoder sub-pieces: stems vs the deep stack
     def stems(mdl, xa):
         return [mdl.enc._stem(xa[k]) for k in ("a", "b", "c")]
 
-    st = jax.jit(lambda v, xa: model.apply(v, xa, method=stems))
-    report("  stems only", timeit(st, (variables, xa),
-                                  fetch=lambda o: o[0]))
+    report("  stems only", timeit(
+        jax.jit(lambda v, xa: chk(model.apply(v, xa, method=stems))),
+        (variables, xa)))
 
-    def stack_only(mdl, s3):
-        return mdl.enc._stack(s3)
+    st_f = jax.jit(lambda v, xa: model.apply(v, xa, method=stems))
+    s3 = jnp.concatenate(list(st_f(variables, xa)), axis=0)
 
-    s3 = jnp.asarray(np.concatenate(
-        [np.asarray(v) for v in st(variables, xa)], axis=0))
-    sk = jax.jit(lambda v, s: model.apply(v, s, method=stack_only))
-    report("  deep stack (3B rows, 4 layers)", timeit(sk, (variables, s3)))
+    report("  deep stack (3B rows, 4 layers)", timeit(
+        jax.jit(lambda v, s: chk(model.apply(
+            v, s, method=lambda m, t: m.enc._stack(t)))),
+        (variables, s3)))
 
-    # per-layer stack cost: run k layers only
     def stack_k(mdl, s3, k):
         from asr_model_tpu.models.conv import get_activation
         x = s3
@@ -103,48 +102,36 @@ def main():
             x = act(x)
         return x
 
-    for k in (1,):
-        f = jax.jit(lambda v, s, k=k: model.apply(
-            v, s, k, method=stack_k))
-        report(f"  stack: {k} layer", timeit(f, (variables, s3)))
+    report("  stack: 1 layer", timeit(
+        jax.jit(lambda v, s: chk(model.apply(
+            v, s, 1, method=stack_k))), (variables, s3)))
 
-    # layer sub-pieces at (3B, T, D)
     def piece(mdl, s3, which):
         blk = mdl.enc.blocks[0]
-        if which == "wn":
-            return blk["wn"](s3)
-        if which == "convlite":
-            return blk["convlite"](s3)
-        if which == "dw":
-            return blk["dw"](s3)
-        if which == "ln":
-            return blk["ln"](s3)
-        raise ValueError(which)
+        return blk[which](s3)
 
     for which in ("wn", "convlite", "dw", "ln"):
-        f = jax.jit(lambda v, s, w=which: model.apply(
-            v, s, w, method=piece))
-        report(f"    {which} @ (3B,T,512)", timeit(f, (variables, s3)))
+        report(f"    {which} @ (3B,T,512)", timeit(
+            jax.jit(lambda v, s, w=which: chk(model.apply(
+                v, s, w, method=piece))), (variables, s3)))
 
     # stage 2: block re-encode (_encode_xa)
     def re_enc(mdl, xa_enc):
         blk = mdl.processor.block[-1]
         return mdl.processor._encode_xa(blk, xa_enc)
 
-    re = jax.jit(lambda v, x: model.apply(v, x, method=re_enc))
-    t_re = timeit(re, (variables, xa_enc),
-                  fetch=lambda o: jax.tree.leaves(o)[0])
-    report("block re-encode (_encode_xa, 3 slots)", t_re)
-    re_out = jax.tree.map(jnp.asarray, re(variables, xa_enc))
+    re_f = jax.jit(lambda v, x: model.apply(v, x, method=re_enc))
+    report("block re-encode (_encode_xa, 3 slots)", timeit(
+        jax.jit(lambda v, x: chk(model.apply(v, x, method=re_enc))),
+        (variables, xa_enc)))
+    re_out = jax.tree.map(jnp.asarray, re_f(variables, xa_enc))
 
-    # re-encode sub-pieces: one slot through the Residual self path
     def one_slot(mdl, t):
-        blk = mdl.processor.block[-1]
-        return blk(t)
+        return mdl.processor.block[-1](t)
 
-    os_ = jax.jit(lambda v, t: model.apply(v, t, method=one_slot))
     report("  one slot (full Residual)", timeit(
-        os_, (variables, xa_enc["a"])))
+        jax.jit(lambda v, t: chk(model.apply(v, t, method=one_slot))),
+        (variables, xa_enc["a"])))
 
     def slot_piece(mdl, t, which):
         blk = mdl.processor.block[-1]
@@ -161,20 +148,18 @@ def main():
         raise ValueError(which)
 
     for which in ("jump", "router", "attn", "mlp", "ln"):
-        f = jax.jit(lambda v, t, w=which: model.apply(
-            v, t, w, method=slot_piece))
         report(f"    {which} @ (B,T,512)", timeit(
-            f, (variables, xa_enc["a"])))
+            jax.jit(lambda v, t, w=which: chk(model.apply(
+                v, t, w, method=slot_piece))), (variables, xa_enc["a"])))
 
     # stage 3: cross-KV projection
     def pre_kv(mdl, re_out):
         blk = mdl.processor.block[-1]
         return mdl.processor._precompute_cross(blk, re_out)
 
-    pk = jax.jit(lambda v, x: model.apply(v, x, method=pre_kv))
     report("cross-KV projection (_precompute_cross)", timeit(
-        pk, (variables, re_out),
-        fetch=lambda o: jax.tree.leaves(o)[0]))
+        jax.jit(lambda v, x: chk(model.apply(v, x, method=pre_kv))),
+        (variables, re_out)))
 
 
 if __name__ == "__main__":

@@ -136,11 +136,18 @@ def main():
         return (mel.astype(jnp.bfloat16), f0.astype(jnp.bfloat16),
                 wav.astype(jnp.bfloat16))
 
+    def chk(tree):
+        return sum(jnp.sum(x.astype(jnp.float32))
+                   for x in jax.tree.leaves(tree))
+
     fe = jax.jit(frontend)
     fe_c = fe.lower(audio).compile()
     fe_flops, fe_bytes = _cost(fe_c)
     mel, f0, wav = jax.tree.map(jnp.asarray, fe(audio))
-    fe_s = _time_chain(fe, (audio,), 20)
+    # timing fetches a scalar checksum — fetching real outputs through
+    # the axon tunnel would dominate (verify-skill rule)
+    fe_s = _time_chain(jax.jit(lambda a: chk(frontend(a))),
+                       (audio,), 20)
     report("frontend (mel+yin+wave)", fe_s, fe_flops, fe_bytes)
 
     variables = model.init({"params": jax.random.key(0)},
@@ -165,9 +172,9 @@ def main():
     ep_c = ep.lower(variables, mel, f0, wav).compile()
     ep_flops, ep_bytes = _cost(ep_c)
     xa_kv = ep(variables, mel, f0, wav)
-    jax.tree.map(lambda x: x.block_until_ready(), xa_kv)
-    ep_s = _time_chain(lambda *a: ep(*a), (variables, mel, f0, wav), 10,
-                       fetch=lambda o: np.asarray(jax.tree.leaves(o)[0]))
+    ep_s = _time_chain(
+        jax.jit(lambda *a: chk(enc_pre(*a))),
+        (variables, mel, f0, wav), 10)
     report("encode + cross-KV precompute", ep_s, ep_flops, ep_bytes)
 
     # ---------------- one decode step per bucket width
