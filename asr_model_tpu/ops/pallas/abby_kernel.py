@@ -129,14 +129,16 @@ def fused_abby_tail(x2, logits2, size: int, alpha: float, k: float,
     kernel = functools.partial(_kernel, size=size, alpha=float(alpha),
                                k=float(k), beta=float(beta))
     # single block for anything the production gate admits; beyond
-    # that, the row grid runs SEQUENTIALLY on the core, so block count
-    # is overhead: pick the largest TN whose ~6 (TN, D) f32 live temps
-    # stay under ~8 MB of the 16 MB VMEM (TN=640 at the flagship
-    # D=512 — a B=64 width-65 decode buffer runs as 7 blocks instead
-    # of 17).  min(N, .): a short-but-wide array (N < TN with
-    # N*D > 400k, e.g. D=2048) must not request a block taller than
-    # the array — that would only waste padded compute.
-    tn = N if N * D <= 400_000 else min(N, max(256, 8_000_000 // (24 * D) // 8 * 8))
+    # that, TN=256 keeps ~6 (TN, D) f32 live temps under ~4 MB VMEM
+    # at the flagship D=512.  MEASURED (round 5, B=64 headline):
+    # TN=648 (7 blocks instead of 17 for a width-65 buffer) is 3.7%
+    # SLOWER end-to-end (589.5x -> 567.8x) — the sequential grid
+    # overlaps each block's DMA with the previous block's compute, so
+    # fewer/bigger blocks lose pipelining and raise VMEM pressure;
+    # block-count overhead is not the cost.  min(N, .): a short-but-
+    # wide array (N < 256 with N*D > 400k, e.g. D=2048) must not
+    # request a block taller than the array.
+    tn = N if N * D <= 400_000 else min(N, 256)
     return pl.pallas_call(
         kernel,
         grid=(pl.cdiv(N, tn),),
@@ -174,7 +176,7 @@ def fused_abby(x2, w1, b1, w2, b2, size: int, alpha: float, k: float,
     kernel = functools.partial(_full_kernel, size=size,
                                alpha=float(alpha), k=float(k),
                                beta=float(beta))
-    tn = N if N * D <= 400_000 else min(N, max(256, 8_000_000 // (24 * D) // 8 * 8))  # see fused_abby_tail
+    tn = N if N * D <= 400_000 else min(N, 256)  # see fused_abby_tail
     return pl.pallas_call(
         kernel,
         grid=(pl.cdiv(N, tn),),
