@@ -47,6 +47,12 @@ def main():
                     help="directory to write final_model.msgpack + "
                          "config.json (Transcriber.from_checkpoint-"
                          "loadable)")
+    ap.add_argument("--resume", type=str, default="",
+                    help="warm-start from a --save-checkpoint dir "
+                         "(params + MaxFactor statistics + batch "
+                         "stats); --steps counts ADDITIONAL steps, "
+                         "and the schedule continues from the saved "
+                         "step so lr does not re-warm")
     args = ap.parse_args()
 
     import jax
@@ -115,9 +121,17 @@ def main():
 
     dims = Dimensions(tokens=40000, mels=args.mels, dims=args.dims,
                       head=args.head, layer=args.layer)
+    resume_step = 0
+    if args.resume:
+        from asr_model_tpu.train.checkpoint import restore_checkpoint
+        peek = restore_checkpoint(
+            os.path.join(args.resume, "final_model.msgpack"), None)
+        resume_step = int(peek["step"])
+        print(f"resuming from {args.resume} at step {resume_step}; "
+              f"running {args.steps} more steps", flush=True)
     cfg = Config(model=ModelConfig(dims=dims, streaming=True),
                  optim=OptimConfig(lr=args.lr, warmup_steps=50,
-                                   total_steps=args.steps))
+                                   total_steps=resume_step + args.steps))
     model = Model(param=dims, cfg=cfg.model)
 
     first = next(batches(train_items, args.batch))
@@ -130,6 +144,14 @@ def main():
     bs_stats = variables.get("batch_stats", {})
     tx, _ = make_optimizer(cfg, params)
     opt_state = tx.init(params)
+    if args.resume:
+        restored = restore_checkpoint(
+            os.path.join(args.resume, "final_model.msgpack"),
+            {"params": params, "opt_state": opt_state,
+             "batch_stats": bs_stats, "step": 0})
+        params = restored["params"]
+        opt_state = restored["opt_state"]
+        bs_stats = restored["batch_stats"]
     step_fn = make_train_step(model, tx, args.clip)
     rng = jax.random.key(args.seed + 1)
     shuffle_rng = np.random.RandomState(args.seed + 2)
@@ -185,14 +207,17 @@ def main():
         ckpt.save_checkpoint(
             os.path.join(args.save_checkpoint, "final_model.msgpack"),
             {"params": params, "opt_state": opt_state,
-             "batch_stats": bs_stats, "step": args.steps})
+             "batch_stats": bs_stats,
+             "step": resume_step + args.steps})
         with open(os.path.join(args.save_checkpoint,
                                "config.json"), "w") as f:
             f.write(save_cfg.to_json())
         print(f"checkpoint written to {args.save_checkpoint}")
 
+    steps_str = (f"{resume_step}+{args.steps}" if args.resume
+                 else f"{args.steps}")
     summary = (
-        f"steps={args.steps} dims={args.dims} head={args.head} "
+        f"steps={steps_str} dims={args.dims} head={args.head} "
         f"layer={args.layer} mels={args.mels} streaming=True "
         f"n_train={args.n_train} n_eval={args.n_eval} "
         f"batch={args.batch} lr={args.lr} seed={args.seed} | "
